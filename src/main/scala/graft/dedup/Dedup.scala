@@ -1,0 +1,168 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for training-data pipelines:
+  * exact, n-gram Jaccard (exact pairwise), MinHash+LSH (scale path),
+  * and SimHash. Embedding-cosine near-dup lives in
+  * [[graft.ann.Similarity]].
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup = one hash-partitioned window by normalized text —
+  *    a single shuffle, map-side combinable if rewritten as groupBy.
+  *  - exact Jaccard is quadratic in bucket size and exists as the
+  *    oracle/verify stage; MinHash LSH is the discovery path: shuffles
+  *    are bounded by (bands x docs), and candidate verification only
+  *    touches colliding pairs.
+  *  - banding means a near-dup pair is missed only if ALL bands differ
+  *    — recall tunable via (k, bands) without ever materializing the
+  *    pairwise matrix.
+  */
+object Dedup {
+
+  private def norm(text: Column): Column = lower(trim(text))
+
+  /** Exact dedup: canonical doc = min id among byte-identical
+    * (normalized) texts.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(norm(col(textCol)))
+    docs
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
+  }
+
+  /** Distinct word n-gram shingles of the normalized text. Documents
+    * shorter than n words shingle to the whole document.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(norm(text), "\\s+")
+    val full = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*))
+    array_distinct(when(size(toks) >= n, full).otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Exact n-gram Jaccard similarity pairs (a < b) with
+    * jaccard >= threshold. Pairs are discovered through an inverted
+    * shingle index (explode + self-join), so only documents sharing at
+    * least one shingle are compared — still the exact result, since
+    * jaccard > 0 requires a shared shingle.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("sh_cnt", size(col("sh")))
+    val inv = sh.select(col("id"), col("sh_cnt"), explode(col("sh")).as("s"))
+    val a = inv.select(col("id").as("id_a"), col("sh_cnt").as("cnt_a"), col("s"))
+    val b = inv.select(col("id").as("id_b"), col("sh_cnt").as("cnt_b"), col("s"))
+    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("cnt_a"), col("cnt_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("cnt_a") + col("cnt_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * seeded xxhash64 re-hashes of each shingle; signature[i] = min over
+    * shingles. Pure expressions — no UDF.
+    */
+  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => pmod(xxhash64(lit(i), s), lit(2147483647L))))
+    }: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: signatures are cut into `bands`
+    * bands; documents colliding in ANY band become candidates;
+    * candidates are verified with exact n-gram Jaccard. Output schema
+    * matches [[ngramJaccardPairs]] (id_a < id_b, jaccard) — at high
+    * recall settings the two agree, which is what DedupSpec asserts.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 16,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
+      minhashSignature(col(textCol), k, n).as("sig"))
+    val banded = sig.select(col("id"), col("txt"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(bnd, slice(col("sig"), bnd * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("txt").as("txt_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("txt").as("txt_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("txt_a"), col("id_b"), col("txt_b"))
+      .distinct()
+    // exact verification of candidates only
+    val inter = candidates
+      .withColumn("sh_a", shingles(col("txt_a"), n))
+      .withColumn("sh_b", shingles(col("txt_b"), n))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+    inter.filter(col("jaccard") >= threshold).select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: bit b is set iff the sum over tokens
+    * of (+1 if bit b of xxhash64(token) else -1) is positive.
+    */
+  def simhash(text: Column, bits: Int = 64): Column = {
+    val toks = split(norm(text), "\\s+")
+    // one aggregate pass per bit, statically unrolled (shift amounts
+    // must be literals); each pass is a codegen'd scan of the token array
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      val vote = aggregate(toks, lit(0L),
+        (s, w) => s + (shiftright(xxhash64(w), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+      acc + when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming,
+    * discovered by banding the 64-bit hash into `chunks` equal chunks
+    * (pigeonhole: distance <= chunks-1 guarantees a shared chunk) and
+    * verified with bit_count(xor).
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      chunks: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val width = 64 / chunks
+    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val chunkArr = array((0 until chunks).map { c =>
+      shiftright(col("sim"), c * width).bitwiseAND(lit((1L << width) - 1L))
+    }: _*)
+    val banded = sh.select(col("id"), col("sim"), posexplode(chunkArr))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for each query (conv_id, ts_q), return
+  * the payload of the latest history row with `ts <= ts_q` (ties at
+  * equal ts: the highest turn_idx wins, and history rows at exactly
+  * ts_q ARE visible — matching the inclusive upper bound of the
+  * reference's window frames).
+  *
+  * This single operator replaces the reference's entire SageMaker
+  * Feature Store surface: the online `get_record` latest-row lookup
+  * (feature_store/ingest_features.py:107-122) is [[latestPerKey]]
+  * (= as-of at ts = +inf), and offline point-in-time training joins
+  * against the append log (register_feature_groups.py:44-48) are
+  * [[asOf]] at historical timestamps. Zero temporal leakage by
+  * construction.
+  *
+  * Physical shape (scale): tag sides, union, ONE hash exchange on
+  * conv_id + one local sort by (ts, side, turn_idx), then a running
+  * `last(payload, ignoreNulls)` — i.e. a sort-merge as-of. No
+  * driver-side collect (the reference's `toPandas()`,
+  * silver_and_gold.py:143, is the anti-pattern this deletes). Cost is
+  * O((|Q|+|H|) log) per partition and broadcast-free, so it survives
+  * 100 TB histories; skewed mega-conversations follow the same
+  * chunking lever as the window stage (graft.skew.ChunkedWindows).
+  */
+object AsOfJoin {
+
+  /** As-of join `queries` (must have conv_id, ts; other columns pass
+    * through) against `history` (must have conv_id, ts, turn_idx).
+    * `payloadCols` are the history columns to surface; they must not
+    * collide with query column names. Queries with no history row at or
+    * before their ts get null payloads.
+    */
+  def asOf(queries: DataFrame, history: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val hist = history.select(
+      col("conv_id"), col("ts"),
+      lit(0).as("_is_query"),
+      col("turn_idx").cast("int").as("_turn"),
+      struct(payloadCols.map(col): _*).as("_payload"))
+    val qs = queries.select(
+      col("conv_id"), col("ts"),
+      lit(1).as("_is_query"),
+      lit(Int.MaxValue).as("_turn"),
+      struct(queries.columns.map(col).toSeq: _*).as("_q"))
+    // allowMissingColumns fills _payload on the query side (and _q on
+    // the history side) with typed nulls — no manual schema plumbing.
+    val unioned = hist.unionByName(qs, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(col("conv_id"))
+      .orderBy(col("ts"), col("_is_query"), col("_turn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_feat", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_is_query") === 1)
+      .select(col("_q.*") +: payloadCols.map(c => col(s"_feat.$c").as(c)): _*)
+  }
+
+  /** Brute-force oracle formulation (tests only): join every history
+    * row at or before the query ts, keep max (ts, turn_idx) via max_by.
+    * Semantically identical to [[asOf]]; quadratic in conversation
+    * size, so never on the hot path.
+    */
+  def asOfOracle(queries: DataFrame, history: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val q = queries.withColumn("_qid", monotonically_increasing_id())
+    val h = history.select(
+      col("conv_id").as("_h_conv"), col("ts").as("_h_ts"),
+      col("turn_idx").as("_h_turn"),
+      struct(payloadCols.map(col): _*).as("_payload"))
+    val joined = q.join(h, q("conv_id") === col("_h_conv") && col("_h_ts") <= q("ts"), "left")
+    joined
+      .groupBy((col("_qid") +: queries.columns.map(q(_))): _*)
+      .agg(max_by(col("_payload"), struct(col("_h_ts"), col("_h_turn"))).as("_feat"))
+      .select(queries.columns.map(col) ++ payloadCols.map(c => col(s"_feat.$c").as(c)): _*)
+  }
+
+  /** J2: latest feature row per conv_id (the online-store read,
+    * ingest_features.py:107-122) — as-of at ts = +inf.
+    */
+  def latestPerKey(history: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("conv_id"))
+      .orderBy(col("ts").desc, col("turn_idx").desc)
+    history
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** J2 batched (`batch_get_record`, ingest_features.py:124-143):
+    * latest row per key restricted to a key set — broadcast left-semi
+    * join so the big side never shuffles for the filter.
+    */
+  def latestForKeys(history: DataFrame, keys: DataFrame): DataFrame =
+    latestPerKey(history.join(broadcast(keys), Seq("conv_id"), "left_semi"))
+}
