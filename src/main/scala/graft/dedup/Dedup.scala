@@ -72,22 +72,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: k independent permutations approximated by
-    * seeded xxhash64 re-hashes of each shingle; signature[i] = min over
-    * shingles. Pure expressions — no UDF.
+  /** Mersenne prime 2^31 - 1: the minhash universe. Each shingle is
+    * first collapsed to one base hash x in [0, p); permutation i is the
+    * affine family h_i(x) = (a_i * x + b_i) mod p with fixed odd
+    * coefficients (standard Carter-Wegman minhash). All arithmetic is
+    * bounded in [0, 2^62] — ANSI-safe, no overflow.
     */
-  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column = {
-    val sh = shingles(text, n)
-    array((0 until k).map { i =>
-      array_min(transform(sh, s => pmod(xxhash64(lit(i), s), lit(2147483647L))))
-    }: _*)
+  private val P = 2147483647L
+  private def affineCoeffs(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(20240816L)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signatures per document: explode each doc to one row per
+    * shingle base-hash, then ONE hash-aggregate with k min() columns.
+    * This is the 100 TB shape: map-side combine shrinks the shuffle to
+    * one signature row per document, and no expression recomputes the
+    * shingle set k times (the naive nested-higher-order form compiles
+    * k inlined copies of the shingling and runs ~100x slower).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      k: Int = 32,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val inv = docs.select(col(idCol).as("id"),
+      explode(transform(shingles(col(textCol), n), s => pmod(xxhash64(s), lit(P)))).as("x"))
+    val mins = affineCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("x") * a + b, lit(P))).as(s"m$i")
+    }
+    inv.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-dup pairs: signatures are cut into `bands`
     * bands; documents colliding in ANY band become candidates;
-    * candidates are verified with exact n-gram Jaccard. Output schema
-    * matches [[ngramJaccardPairs]] (id_a < id_b, jaccard) — at high
-    * recall settings the two agree, which is what DedupSpec asserts.
+    * candidates are verified with exact Jaccard over the hashed shingle
+    * sets. Output schema matches [[ngramJaccardPairs]] (id_a < id_b,
+    * jaccard) — at high recall settings the two agree, which is what
+    * DedupSpec asserts. A true near-dup pair is missed only if all
+    * `bands` bands differ: P(miss) = (1 - j^(k/bands))^bands.
     */
   def minhashLshPairs(
       docs: DataFrame,
@@ -99,28 +123,31 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
-      minhashSignature(col(textCol), k, n).as("sig"))
-    val banded = sig.select(col("id"), col("txt"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(bnd, slice(col("sig"), bnd * rows + 1, lit(rows))))))
+    val sig = minhashSignatures(docs, k, n, idCol, textCol)
+    val bandArr = array((0 until bands).map { bnd =>
+      xxhash64(lit(bnd) +: (0 until rows).map(r => col(s"m${bnd * rows + r}")): _*)
+    }: _*)
+    val banded = sig.select(col("id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("txt").as("txt_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("txt").as("txt_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("txt_a"), col("id_b"), col("txt_b"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification of candidates only
-    val inter = candidates
-      .withColumn("sh_a", shingles(col("txt_a"), n))
-      .withColumn("sh_b", shingles(col("txt_b"), n))
+    // exact verification of candidates only, over hashed shingle sets
+    // (ids join back — texts never ride the shuffle)
+    val shSets = docs.select(col(idCol).as("id"),
+      array_distinct(transform(shingles(col(textCol), n), s => pmod(xxhash64(s), lit(P)))).as("sh"))
+    candidates
+      .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-    inter.filter(col("jaccard") >= threshold).select(col("id_a"), col("id_b"), col("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash over tokens: bit b is set iff the sum over tokens

@@ -27,8 +27,10 @@ import graft.gold.FeatureWindows
   */
 object ChunkedWindows {
 
-  /** Exact range features via time-segment salting. `segmentSecs` must
-    * be >= the longest lookback used by the features (7d = 604800).
+  /** Exact range features via time-segment salting. Any `segmentSecs`
+    * works (context reaches back ceil(maxLookback/segmentSecs)
+    * segments); smaller segments buy more parallelism at a higher
+    * replication factor.
     */
   def rangeFeaturesChunked(
       silver: DataFrame,
