@@ -1,0 +1,184 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.gold.FeatureWindows
+import graft.meta.Checkpoint
+import graft.schema.TranscriptSchema
+import graft.silver.SilverBuilder
+
+/** Resumable, checkpointed bronze → silver → gold backfill over
+  * half-open time slices `[start, end)`.
+  *
+  * Replaces the reference's EventBridge/Step Functions micro-batch loop
+  * (state_machines/stream_pipeline.asl.json) with a pure-Spark driver,
+  * and fixes its batch semantics (SURVEY.md §2.1):
+  *  - D5: window features see FULL history — each slice reads a
+  *    maxLookback tail of already-written silver as context, and
+  *    lag/gap/session carry exact per-conversation state across slices
+  *    (prev ts/role + session count), so a sliced backfill is
+  *    bit-identical to a single-shot run (BackfillSpec property).
+  *  - D6: half-open slices + idempotent dynamic-partition overwrite —
+  *    no boundary double-counting; any slice can be re-run safely.
+  *  - D3: watermark rows are real: `committed` is flipped only after
+  *    data + lineage land; resume skips committed slices and recomputes
+  *    the rest.
+  *
+  * Layout: silver/gold partitioned by (dt, slice_id) so a slice
+  * overwrite replaces exactly its own files while `dt` stays prunable.
+  * Per-(slice, partition) row counts / content hashes / throughput go
+  * to the lineage table (Checkpoint).
+  */
+object Backfill {
+
+  final case class SliceReport(sliceId: String, rows: Long, wallMs: Long, skipped: Boolean)
+
+  private val MaxLookbackSecs = 604800L // the widest feature frame (7d)
+
+  def sliceId(startSec: Long): String = s"s$startSec"
+
+  /** Run the backfill for contiguous slices covering
+    * [firstStartSec, firstStartSec + nSlices * sliceSecs). `bronze` is
+    * the raw input (any layout); rows are routed to slices by ts.
+    */
+  def run(
+      spark: SparkSession,
+      bronze: DataFrame,
+      outDir: String,
+      firstStartSec: Long,
+      sliceSecs: Long,
+      nSlices: Int,
+      sessionGapSecs: Long = TranscriptSchema.DefaultSessionGapSecs,
+      failAfterGoldWriteOfSlice: Option[String] = None,
+      skewHeavyThreshold: Option[Long] = None): Seq[SliceReport] = {
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val committed = Checkpoint.committedSlices(spark, outDir)
+    val silverPath = s"$outDir/silver"
+    val goldPath = s"$outDir/gold"
+
+    var prevSlice: Option[String] = None
+    val reports = (0 until nSlices).map { i =>
+      val start = firstStartSec + i * sliceSecs
+      val end = start + sliceSecs
+      val id = sliceId(start)
+      val t0 = System.nanoTime()
+
+      if (committed.contains(id)) {
+        prevSlice = Some(id)
+        SliceReport(id, 0L, 0L, skipped = true)
+      } else {
+        // --- lookback context from already-written silver (also the
+        // cross-slice dedup horizon: a (conv_id, turn_idx) re-sent in a
+        // later slice within maxLookback is dropped here; beyond that
+        // horizon it is past the watermark, like any late-data policy)
+        val context: DataFrame =
+          if (Checkpoint.pathExists(spark, silverPath))
+            spark.read.parquet(silverPath)
+              .filter(col("slice_id") =!= id &&
+                unix_timestamp(col("ts")) >= start - MaxLookbackSecs &&
+                unix_timestamp(col("ts")) < start)
+              .drop("slice_id")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(TranscriptSchema.silver.fields))
+
+        // --- bronze -> silver for this slice (half-open, D6 fix) ---
+        val sliceBronze = bronze.filter(
+          unix_timestamp(col("ts")) >= start && unix_timestamp(col("ts")) < end)
+        val silver = SilverBuilder.build(sliceBronze)
+          .join(context.select(col("conv_id"), col("turn_idx")), Seq("conv_id", "turn_idx"), "left_anti")
+          .withColumn("slice_id", lit(id)).cache()
+        val sliceRows = silver.count()
+        if (sliceRows == 0L) {
+          // empty slice: propagate state, commit a zero-row watermark
+          val state = Checkpoint.readConvState(spark, outDir, prevSlice)
+          Checkpoint.writeConvState(outDir, id, state)
+          Checkpoint.commitSlice(spark, outDir, id,
+            new Timestamp(start * 1000L), new Timestamp(end * 1000L), None, 0L)
+          silver.unpersist()
+          prevSlice = Some(id)
+          SliceReport(id, 0L, (System.nanoTime() - t0) / 1000000L, skipped = false)
+        } else {
+        silver.write.mode(SaveMode.Overwrite)
+          .partitionBy("dt", "slice_id").parquet(silverPath)
+
+        // --- gold: range features over slice + lookback context ---
+        val sliceSilver = spark.read.parquet(silverPath)
+          .filter(col("slice_id") === id).drop("slice_id")
+        // O(n) sliding sweep (FastWindows) — the declarative
+        // FeatureWindows.rangeFeatures is semantically identical
+        // (property-tested) but recomputes collect_set per row
+        val withContext = context.unionByName(sliceSilver)
+        val ranged = (skewHeavyThreshold match {
+          case Some(thr) => graft.gold.FastWindows.rangeFeaturesAuto(withContext, thr)
+          case None      => graft.gold.FastWindows.rangeFeatures(withContext)
+        }).filter(unix_timestamp(col("ts")) >= start)
+
+        // --- lag/gap/session with carried per-conversation state ---
+        val state = Checkpoint.readConvState(spark, outDir, prevSlice)
+        val gold = withState(ranged, state, sessionGapSecs)
+
+        val t1 = System.nanoTime()
+        gold.withColumn("slice_id", lit(id))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("dt", "slice_id").parquet(goldPath)
+
+        if (failAfterGoldWriteOfSlice.contains(id))
+          throw new RuntimeException(s"injected failure after gold write of $id (test hook)")
+
+        // --- state for the next slice ---
+        val writtenGold = spark.read.parquet(goldPath)
+          .filter(col("slice_id") === id).drop("slice_id").cache()
+        Checkpoint.writeConvState(outDir, id, nextState(writtenGold, state))
+
+        // --- lineage, then the committing watermark row (atomic last) ---
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        val (rows, hw) = Checkpoint.appendLineage(outDir, writtenGold, id, wallMs)
+        Checkpoint.commitSlice(spark, outDir, id,
+          new Timestamp(start * 1000L), new Timestamp(end * 1000L), hw, rows)
+        writtenGold.unpersist()
+        silver.unpersist()
+        prevSlice = Some(id)
+        SliceReport(id, rows, wallMs, skipped = false)
+        }
+      }
+    }
+    reports
+  }
+
+  /** lag/gap/session over a slice, seeded by the previous slice's
+    * per-conversation state — exact across slice boundaries.
+    */
+  private[graft] def withState(ranged: DataFrame, state: DataFrame, gapSecs: Long): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val tsSec = unix_timestamp(col("ts"))
+    ranged
+      .join(state, Seq("conv_id"), "left")
+      .withColumn("prev_role", coalesce(lag(col("role"), 1).over(w), col("st_last_role")))
+      .withColumn("gap_secs",
+        tsSec - coalesce(lag(tsSec, 1).over(w), unix_timestamp(col("st_last_ts"))))
+      .withColumn("session_id",
+        (coalesce(col("st_sessions"), lit(0)) +
+          sum(when(col("gap_secs").isNull || col("gap_secs") > gapSecs, 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).cast("int"))
+      .drop("st_last_ts", "st_last_turn_idx", "st_last_role", "st_sessions")
+  }
+
+  /** Fold a processed slice into the carried state: latest
+    * (ts, turn_idx, role, session count) per conversation, keeping
+    * state for conversations silent this slice.
+    */
+  private[graft] def nextState(goldSlice: DataFrame, prevState: DataFrame): DataFrame = {
+    val latest = goldSlice.groupBy(col("conv_id")).agg(
+      max_by(col("ts"), struct(col("ts"), col("turn_idx"))).as("st_last_ts"),
+      max_by(col("turn_idx"), struct(col("ts"), col("turn_idx"))).as("st_last_turn_idx"),
+      max_by(col("role"), struct(col("ts"), col("turn_idx"))).as("st_last_role"),
+      max(col("session_id")).as("st_sessions"))
+    prevState.join(latest, Seq("conv_id"), "left_anti").unionByName(latest)
+  }
+}

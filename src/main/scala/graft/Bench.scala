@@ -1,24 +1,102 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.TranscriptGen
+import graft.gold.AsOfJoin
+
+/** Benchmark main (driver contract): times every registered query on
+  * SPARK_GRAFT_SF_DIR, plus the two headline metrics from
+  * BASELINE.json — gold-layer backfill throughput (turns/sec) over a
+  * deterministic synthetic transcript table with planted
+  * mega-conversations, and as-of join wall-time of feature queries vs
+  * the full gold history. Prints ONE JSON line.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_BENCH_CONVS (synthetic conversation count; turns ~= 2.9x
+  * convs + mega tail).
+  */
 object Bench {
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Write a deterministic synthetic bronze table; returns (path,
+    * turns). Generation cost is excluded from the measured backfill.
+    */
+  def writeBronze(spark: SparkSession, dir: String, nConvs: Long): Long = {
+    val bronze = TranscriptGen.transcripts(spark, nConvs,
+      avgTurns = 30, megaConvs = 2, megaTurns = 100000)
+    bronze.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).count()
+  }
+
+  /** The headline backfill: 5 slices of 8 days (span covers the
+    * generator's 30-day stagger + conversation tails), skew dispatch on.
+    */
+  def runBackfill(spark: SparkSession, bronzeDir: String, outDir: String): Seq[Backfill.SliceReport] =
+    Backfill.run(spark, spark.read.parquet(bronzeDir), outDir,
+      firstStartSec = 1704067200L, sliceSecs = 8L * 86400, nSlices = 5,
+      skewHeavyThreshold = Some(50000L))
+
+  /** As-of benchmark: one query per 10th turn at ts+60s vs the full
+    * gold history.
+    */
+  def runAsOf(spark: SparkSession, goldDir: String): Long = {
+    val gold = spark.read.parquet(goldDir).drop("slice_id")
+    val queries = gold.filter(pmod(col("turn_idx"), lit(10)) === 3)
+      .select(col("conv_id"), (col("ts") + expr("INTERVAL 60 SECONDS")).as("ts"))
+    AsOfJoin.asOf(queries, gold,
+      Seq("turn_idx", "turns_cnt_1h", "chars_sum_1h", "tool_distinct_24h", "session_id")).count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "300000").toLong
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // registered operator queries on the driver's tables
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val (_, secs) = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+      }
+      results(name) = secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // headline: synthetic backfill throughput + as-of wall time
+    val work = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val bronzeDir = s"$work/bronze"
+    val outDir = s"$work/out"
+    val turns = writeBronze(spark, bronzeDir, nConvs)
+    val (reports, backfillSecs) = time(runBackfill(spark, bronzeDir, outDir))
+    val goldRows = reports.map(_.rows).sum
+    results("backfill_gold") = backfillSecs
+    val (asofRows, asofSecs) = time(runAsOf(spark, s"$outDir/gold"))
+    results("asof_join") = asofSecs
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_turns":$turns,"gold_rows":$goldRows,"backfill_turns_per_sec":${(goldRows / backfillSecs).round},"asof_queries":$asofRows,"asof_queries_per_sec":${(asofRows / asofSecs).round}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** N-vs-4N scaling harness (BASELINE.json north rule: throughput
+  * scaling efficiency >= 0.8 between two cluster sizes). No real
+  * cluster exists in this sandbox, so per the driver instruction the
+  * criterion is evidenced by running the IDENTICAL backfill + as-of
+  * job on the SAME input at local[8] and local[32]
+  * (spark.sql.shuffle.partitions = cores), reporting throughput at
+  * both plus efficiency = (T_8 / T_32) / 4. Writes BENCH/BASELINE.md
+  * with per-stage, per-partition throughput pulled from the lineage
+  * metadata table.
+  *
+  * Usage: sbt "runMain graft.ScalingBench [nConvs]"
+  */
+object ScalingBench {
+
+  final case class RunStats(cpus: Int, turns: Long, goldRows: Long,
+      backfillSecs: Double, asofSecs: Double, asofRows: Long) {
+    def turnsPerSec: Long = (goldRows / backfillSecs).round
+    def asofPerSec: Long = (asofRows / asofSecs).round
+  }
+
+  private def freshSession(cpus: Int): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = Bench.session(cpus.toString)
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def run(cpus: Int, bronzeDir: String): RunStats = {
+    val spark = freshSession(cpus)
+    val outDir = Files.createTempDirectory(s"graft_scale_$cpus").toString
+    val turns = spark.read.parquet(bronzeDir).count()
+    val t0 = System.nanoTime()
+    val reports = Bench.runBackfill(spark, bronzeDir, outDir)
+    val backfillSecs = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val asofRows = Bench.runAsOf(spark, s"$outDir/gold")
+    val asofSecs = (System.nanoTime() - t1) / 1e9
+    // per-stage, per-partition throughput from the lineage table
+    val lin = graft.meta.Checkpoint.readLineage(spark, outDir)
+      .select("slice_id", "dt", "row_count", "rows_per_sec")
+      .orderBy("slice_id", "dt").collect()
+    linBySession(cpus) = lin.map(r =>
+      (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    RunStats(cpus, turns, reports.map(_.rows).sum, backfillSecs, asofSecs, asofRows)
+  }
+
+  private val linBySession =
+    scala.collection.mutable.Map[Int, Array[(String, String, Long, Double)]]()
+
+  def main(args: Array[String]): Unit = {
+    val nConvs = args.headOption.map(_.toLong)
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_CONVS").map(_.toLong))
+      .getOrElse(300000L)
+
+    // shared deterministic input, written once
+    val genSession = freshSession(32)
+    val bronzeDir = Files.createTempDirectory("graft_scale_bronze").toString + "/bronze"
+    val turns = Bench.writeBronze(genSession, bronzeDir, nConvs)
+
+    val n = run(8, bronzeDir)
+    val n4 = run(32, bronzeDir)
+
+    val effBackfill = (n.backfillSecs / n4.backfillSecs) / 4.0
+    val effTotal = ((n.backfillSecs + n.asofSecs) / (n4.backfillSecs + n4.asofSecs)) / 4.0
+
+    val linRows = linBySession(32).map { case (s, dt, rc, rps) =>
+      f"| $s | $dt | $rc%d | $rps%.1f |"
+    }.mkString("\n")
+
+    val md =
+      s"""# BENCH BASELINE — measured scaling evidence
+         |
+         |Input: deterministic synthetic transcripts (`graft.gen.TranscriptGen`,
+         |$nConvs conversations, 2 planted 100k-turn mega-conversations,
+         |$turns turns total). Job: full checkpointed backfill
+         |(bronze → silver → gold, 5 x 8-day slices, skew dispatch on) +
+         |as-of join of 1-in-10 feature queries vs the gold history.
+         |Identical job and input at both parallelism levels
+         |(`spark.sql.shuffle.partitions` = cores); this sandbox has no
+         |multi-executor cluster, so N vs 4N executors is evidenced as
+         |local[8] vs local[32] per the driver instruction.
+         |
+         || metric | local[8] (N) | local[32] (4N) |
+         ||---|---|---|
+         || backfill wall (s) | ${f"${n.backfillSecs}%.1f"} | ${f"${n4.backfillSecs}%.1f"} |
+         || backfill throughput (turns/s) | ${n.turnsPerSec} | ${n4.turnsPerSec} |
+         || as-of join wall (s) | ${f"${n.asofSecs}%.1f"} | ${f"${n4.asofSecs}%.1f"} |
+         || as-of queries/s | ${n.asofPerSec} | ${n4.asofPerSec} |
+         |
+         |**Scaling efficiency (backfill): ${f"$effBackfill%.3f"}**
+         |**Scaling efficiency (backfill + as-of): ${f"$effTotal%.3f"}**
+         |(efficiency = (T_N / T_4N) / 4; target >= 0.8)
+         |
+         |## Per-stage, per-partition throughput (local[32], lineage table)
+         |
+         || slice | dt partition | rows | rows/s (slice wall) |
+         ||---|---|---|---|
+         |$linRows
+         |""".stripMargin
+
+    Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+    Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), md)
+    println(md)
+    println(s"""{"efficiency_backfill":$effBackfill,"efficiency_total":$effTotal,"t8":${n.backfillSecs},"t32":${n4.backfillSecs}}""")
+    SparkSession.getActiveSession.foreach(_.stop())
+  }
+}

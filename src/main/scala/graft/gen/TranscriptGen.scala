@@ -48,24 +48,31 @@ object TranscriptGen {
         when(col("conv_idx") < megaConvs, lit(megaTurns))
           .otherwise(greatest(lit(2),
             (lit(avgTurns * 3) / pow(col("conv_idx") % 1000 + 1, 0.7)).cast("int"))))
-      // stagger conversation starts across ~30 days
+      // stagger conversation starts across ~30 days; mega-conversations
+      // start early so their long span stays inside the backfill window
       .withColumn("conv_start",
-        lit(baseEpoch) + pmod(xxhash64(col("conv_idx"), lit("start")), lit(2592000L)))
+        when(col("conv_idx") < megaConvs, lit(baseEpoch) + col("conv_idx") * 3600L)
+          .otherwise(lit(baseEpoch) + pmod(xxhash64(col("conv_idx"), lit("start")), lit(2592000L))))
 
     val turns = meta
       .withColumn("turn_idx", explode(sequence(lit(0), col("n_turns") - 1)))
-      .drop("n_turns")
 
     val h = xxhash64(col("conv_idx"), col("turn_idx"))
     // inter-turn gap: mostly seconds-scale, ~1/16 of turns open a new
-    // session with a > 1800 s break
+    // session with a > 1800 s break. Mega-conversations (agent loops)
+    // tick fast with rare breaks so even 10^5-turn conversations stay
+    // inside a ~month of event time.
     val gap = when(col("turn_idx") === 0, lit(0L))
+      .when(col("n_turns") > 5000,
+        when(pmod(h, lit(512)) === 0, lit(1801L) + pmod(h, lit(1800L)))
+          .otherwise(lit(1L) + pmod(h, lit(30L))))
       .when(pmod(h, lit(16)) === 0, lit(3600L) + pmod(h, lit(7200L)))
       .otherwise(lit(5L) + pmod(h, lit(240L)))
 
     val wConv = Window.partitionBy(col("conv_idx")).orderBy(col("turn_idx"))
     val withTs = turns
       .withColumn("_gap", gap)
+      .drop("n_turns")
       .withColumn("ts_sec",
         col("conv_start") + sum(col("_gap")).over(
           wConv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -1,0 +1,174 @@
+package graft.gold
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** O(n) streaming computation of the trailing range-frame features.
+  *
+  * Why this exists: Spark's WindowExec recomputes non-invertible
+  * aggregates (collect_set) from scratch for every row of a sliding
+  * range frame — O(rows x frame_size). On a 10^5-turn agent
+  * conversation with ~5400 turns per 24 h frame that is ~10^9 buffer
+  * rebuild operations per conversation; at 10^12-turn scale it is
+  * unrunnable. The textbook fix (what Flink's sliding windows do) is a
+  * two-pointer sweep: rows enter once, are evicted once, and a
+  * value->count map maintains the exact distinct count — O(n) total.
+  *
+  * Spark offers no invertible-sliding-window hook (AQE can't split
+  * window partitions either), so this drops to a sorted mapPartitions
+  * — the documented last resort, taken deliberately here and ONLY
+  * here. Semantics are bit-identical to
+  * [[FeatureWindows.rangeFeatures]] (property-tested, incl. ts ties):
+  * frames are [t-N, t] inclusive on whole epoch seconds, and tie rows
+  * at the same second all see the full tie group, exactly like Spark's
+  * RANGE frame.
+  *
+  * Memory: the 7d deque holds only that conversation's last-7-days
+  * rows as 24-byte entries; the chunked variant
+  * ([[ChunkedWindows]]-style segmenting, `extraPartCols`) bounds it
+  * for pathological single-conversation densities.
+  */
+object FastWindows {
+
+  private val featureFields: Seq[StructField] = Seq(
+    StructField("turns_cnt_1h", LongType, nullable = false),
+    StructField("tool_calls_1h", LongType, nullable = false),
+    StructField("chars_sum_1h", LongType, nullable = false),
+    StructField("tool_distinct_24h", IntegerType, nullable = false),
+    StructField("avg_chars_7d", DoubleType, nullable = false))
+
+  // one deque per frame: (tsSec, textLen, tool)
+  private final class FrameQ(val spanSecs: Long) {
+      val q = new java.util.ArrayDeque[(Long, Long, String)]()
+      var cnt = 0L
+      var sumLen = 0L
+      var toolCalls = 0L
+      val distinct = new mutable.HashMap[String, Int]()
+      def add(ts: Long, len: Long, tool: String): Unit = {
+        q.addLast((ts, len, tool))
+        cnt += 1; sumLen += len
+        if (tool != null) {
+          toolCalls += 1
+          distinct.updateWith(tool) { case Some(c) => Some(c + 1); case None => Some(1) }
+        }
+      }
+      def evictBefore(minTs: Long): Unit = {
+        while (!q.isEmpty && q.peekFirst()._1 < minTs) {
+          val (_, len, tool) = q.pollFirst()
+          cnt -= 1; sumLen -= len
+          if (tool != null) {
+            toolCalls -= 1
+            distinct.updateWith(tool) { case Some(1) => None; case Some(c) => Some(c - 1); case None => None }
+          }
+        }
+      }
+  }
+
+  private final class SlidingState {
+    val f1h = new FrameQ(3600L)
+    val f24h = new FrameQ(86400L)
+    val f7d = new FrameQ(604800L)
+    def addAll(rows: Seq[(Long, Long, String)]): Unit = {
+      val t = rows.head._1
+      Seq(f1h, f24h, f7d).foreach { f =>
+        f.evictBefore(t - f.spanSecs)
+        rows.foreach { case (ts, len, tool) => f.add(ts, len, tool) }
+      }
+    }
+    def features: (Long, Long, Long, Int, Double) =
+      (f1h.cnt, f1h.toolCalls, f1h.sumLen, f24h.distinct.size, f7d.sumLen.toDouble / f7d.cnt)
+  }
+
+  /** Append the five range features to `silver` (any extra columns ride
+    * along). `extraPartCols` adds salt columns (e.g. a time segment) to
+    * the physical partitioning for skew splitting.
+    */
+  def rangeFeatures(silver: DataFrame, extraPartCols: Seq[String] = Nil): DataFrame = {
+    val inSchema = silver.schema
+    val outSchema = StructType(inSchema.fields ++ featureFields)
+    val partCols = (Seq("conv_id") ++ extraPartCols).map(col)
+    val keyIdx = (Seq("conv_id") ++ extraPartCols).map(inSchema.fieldIndex)
+    val tsIdx = inSchema.fieldIndex("ts")
+    val textIdx = inSchema.fieldIndex("text")
+    val toolIdx = inSchema.fieldIndex("tool")
+
+    val sorted = silver
+      .repartition(partCols: _*)
+      .sortWithinPartitions(partCols :+ unix_timestamp(col("ts")) :+ col("turn_idx"): _*)
+
+    sorted.mapPartitions { it =>
+      val in = it.buffered
+      new Iterator[Row] {
+        private var state: SlidingState = _
+        private var curKey: Seq[Any] = null
+        // rows of the current (key, tsSec) tie group, pre-aggregated
+        private val group = mutable.ArrayBuffer[Row]()
+        private var groupPos = 0
+
+        private def tsSec(r: Row): Long = r.getTimestamp(tsIdx).getTime / 1000L
+        private def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+
+        private def loadGroup(): Unit = {
+          group.clear(); groupPos = 0
+          if (!in.hasNext) return
+          val first = in.next()
+          val k = keyOf(first)
+          val t = tsSec(first)
+          if (curKey == null || k != curKey) { state = new SlidingState; curKey = k }
+          group += first
+          while (in.hasNext && keyOf(in.head) == k && tsSec(in.head) == t)
+            group += in.next()
+          // the whole tie group enters the frames before any member is
+          // emitted — RANGE-frame semantics at equal order keys
+          state.addAll(group.map { r =>
+            val text = r.getString(textIdx)
+            val len = if (text == null) 0L else text.codePointCount(0, text.length).toLong
+            (t, len, if (r.isNullAt(toolIdx)) null else r.getString(toolIdx))
+          }.toSeq)
+        }
+
+        override def hasNext: Boolean = groupPos < group.length || in.hasNext
+        override def next(): Row = {
+          if (groupPos >= group.length) loadGroup()
+          val r = group(groupPos); groupPos += 1
+          val (c1, tc1, s1, d24, a7) = state.features
+          Row.fromSeq(r.toSeq ++ Seq[Any](c1, tc1, s1, d24, a7))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Skew-split exact variant: time-segment salting with lookback
+    * context (same scheme as [[graft.skew.ChunkedWindows]]) on top of
+    * the O(n) sweep — a mega-conversation becomes span/segmentSecs
+    * parallel tasks.
+    */
+  def rangeFeaturesChunked(
+      silver: DataFrame,
+      segmentSecs: Long = 604800L,
+      maxLookbackSecs: Long = 604800L): DataFrame = {
+    val reach = ((maxLookbackSecs + segmentSecs - 1) / segmentSecs).toInt
+    val ownerSeg = floor(unix_timestamp(col("ts")) / segmentSecs).cast("long")
+    val replicated = silver
+      .withColumn("_owner_seg", ownerSeg)
+      .withColumn("_seg", explode(sequence(col("_owner_seg"), col("_owner_seg") + reach)))
+    rangeFeatures(replicated, extraPartCols = Seq("_seg"))
+      .filter(col("_seg") === col("_owner_seg"))
+      .drop("_seg", "_owner_seg")
+  }
+
+  /** Heavy-hitter dispatch mirroring [[graft.skew.ChunkedWindows.rangeFeaturesAuto]]. */
+  def rangeFeaturesAuto(
+      silver: DataFrame,
+      heavyThreshold: Long = 2000000L,
+      segmentSecs: Long = 604800L): DataFrame = {
+    val heavyKeys = silver.groupBy(col("conv_id")).count()
+      .filter(col("count") > heavyThreshold).select(col("conv_id"))
+    val light = silver.join(broadcast(heavyKeys), Seq("conv_id"), "left_anti")
+    val heavy = silver.join(broadcast(heavyKeys), Seq("conv_id"), "left_semi")
+    rangeFeatures(light).unionByName(rangeFeaturesChunked(heavy, segmentSecs))
+  }
+}

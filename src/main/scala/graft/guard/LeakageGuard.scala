@@ -52,13 +52,35 @@ object LeakageGuard {
       }
     }
 
-    df.queryExecution.analyzed.foreach { node =>
-      node.expressions.foreach { root =>
-        val owner = root match {
-          case ne: NamedExpression => ne.name
-          case _                   => "<expr>"
+    val plan = df.queryExecution.analyzed
+
+    // The analyzer extracts window expressions into internal aliases
+    // (`_we0 AS label_x` over `Window [lead(...) AS _we0]`), so a label
+    // exemption must follow attribute references down the plan: any
+    // named expression that IS a label, or whose output feeds an
+    // exempted expression, is exempt. Fixpoint over the (acyclic) plan.
+    var exempt = Set.empty[ExprId]
+    var changed = true
+    while (changed) {
+      changed = false
+      plan.foreach { node =>
+        node.expressions.foreach {
+          case ne: NamedExpression
+              if labelCols.contains(ne.name) || exempt.contains(ne.exprId) =>
+            val refs = ne.references.map(_.exprId).toSet + ne.exprId
+            if (!refs.subsetOf(exempt)) { exempt ++= refs; changed = true }
+          case _ => ()
         }
-        if (!labelCols.contains(owner)) {
+      }
+    }
+
+    plan.foreach { node =>
+      node.expressions.foreach { root =>
+        val (owner, skip) = root match {
+          case ne: NamedExpression => (ne.name, labelCols.contains(ne.name) || exempt.contains(ne.exprId))
+          case _                   => ("<expr>", false)
+        }
+        if (!skip) {
           root.foreach {
             case we: WindowExpression => check(we, owner)
             case _                    => ()

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.TranscriptGen
+import graft.gold.FeatureWindows
+import graft.meta.Checkpoint
+import graft.silver.SilverBuilder
+
+/** Checkpoint/resume properties (FIXTURES.md §5): sliced backfill ==
+  * single-shot run; kill-and-resume == single-shot; lineage has exactly
+  * one committed row set per slice.
+  */
+class BackfillSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  // ~4 slices of 8 days over a 30-day generator span; 7d lookback
+  // guarantees cross-slice window context is exercised
+  private val start = 1704067200L
+  private val sliceSecs = 8L * 86400
+  private val nSlices = 5
+
+  private lazy val bronze = TranscriptGen.transcripts(
+    spark, nConvs = 30, avgTurns = 20, injectAnomalies = true).cache()
+
+  private lazy val singleShot: DataFrame =
+    FeatureWindows.gold(SilverBuilder.build(bronze)).cache()
+
+  private def goldCols(df: DataFrame) = df.select(
+    col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"), col("dt"),
+    col("turns_cnt_1h"), col("tool_calls_1h"), col("chars_sum_1h"),
+    col("tool_distinct_24h"), col("avg_chars_7d"),
+    col("prev_role"), col("gap_secs"), col("session_id"))
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    val (ga, gb) = (goldCols(a), goldCols(b))
+    assert(ga.count() == gb.count())
+    assert(ga.exceptAll(gb).count() == 0 && gb.exceptAll(ga).count() == 0)
+  }
+
+  test("sliced backfill output == single-shot run (D5 fix, cross-slice state)") {
+    val dir = Files.createTempDirectory("bf_sliced").toString
+    val reports = Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
+    assert(reports.count(!_.skipped) == nSlices)
+    val gold = spark.read.parquet(s"$dir/gold")
+    assertSame(gold, singleShot)
+  }
+
+  test("kill mid-backfill (after gold write, before commit), resume -> identical result") {
+    val dir = Files.createTempDirectory("bf_resume").toString
+    val failAt = Backfill.sliceId(start + 2 * sliceSecs)
+    val ex = intercept[RuntimeException] {
+      Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices,
+        failAfterGoldWriteOfSlice = Some(failAt))
+    }
+    assert(ex.getMessage.contains("injected failure"))
+    // only slices before the failure are committed
+    val committed = Checkpoint.committedSlices(spark, dir)
+    assert(committed == Set(Backfill.sliceId(start), Backfill.sliceId(start + sliceSecs)))
+    // resume: re-runs the failed slice (its half-written gold is
+    // idempotently overwritten) and the rest
+    val reports = Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
+    assert(reports.count(_.skipped) == 2 && reports.count(!_.skipped) == 3)
+    assertSame(spark.read.parquet(s"$dir/gold"), singleShot)
+  }
+
+  test("lineage: per-(slice, dt) rows with counts, hashes, throughput; watermarks committed") {
+    val dir = Files.createTempDirectory("bf_lineage").toString
+    Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
+    val lin = Checkpoint.readLineage(spark, dir)
+    assert(lin.columns.toSet == Set("dt", "row_count", "content_hash", "slice_id", "wall_ms", "rows_per_sec"))
+    assert(lin.groupBy("slice_id", "dt").count().filter(col("count") > 1).count() == 0)
+    assert(lin.agg(sum("row_count")).collect()(0).getLong(0) == singleShot.count())
+    val wm = Checkpoint.readWatermarks(spark, dir)
+    assert(wm.filter(col("status") === "committed").select("slice_id").distinct().count() == nSlices)
+    // re-run is a no-op (all skipped)
+    val again = Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
+    assert(again.forall(_.skipped))
+  }
+}
