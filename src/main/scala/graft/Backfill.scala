@@ -104,16 +104,20 @@ object Backfill {
           prevSlice = Some(id)
           SliceReport(id, 0L, (System.nanoTime() - t0) / 1000000L, skipped = false)
         } else {
-        silver.write.mode(SaveMode.Overwrite)
+        // range layout: each task holds a contiguous (dt, conv) range,
+        // so a slice writes ~1 sorted file per task instead of
+        // tasks x days small files (file commit is driver-serial)
+        silver.repartitionByRange(col("dt"), col("conv_id"))
+          .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
+          .write.mode(SaveMode.Overwrite)
           .partitionBy("dt", "slice_id").parquet(silverPath)
 
         // --- gold: range features over slice + lookback context ---
-        val sliceSilver = spark.read.parquet(silverPath)
-          .filter(col("slice_id") === id).drop("slice_id")
         // O(n) sliding sweep (FastWindows) — the declarative
         // FeatureWindows.rangeFeatures is semantically identical
-        // (property-tested) but recomputes collect_set per row
-        val withContext = context.unionByName(sliceSilver)
+        // (property-tested) but recomputes collect_set per row.
+        // The cached slice silver IS what was just written (no read-back).
+        val withContext = context.unionByName(silver.drop("slice_id"))
         val ranged = (skewHeavyThreshold match {
           case Some(thr) => graft.gold.FastWindows.rangeFeaturesAuto(withContext, thr)
           case None      => graft.gold.FastWindows.rangeFeatures(withContext)
@@ -121,27 +125,26 @@ object Backfill {
 
         // --- lag/gap/session with carried per-conversation state ---
         val state = Checkpoint.readConvState(spark, outDir, prevSlice)
-        val gold = withState(ranged, state, sessionGapSecs)
+        val gold = withState(ranged, state, sessionGapSecs).cache()
 
-        val t1 = System.nanoTime()
         gold.withColumn("slice_id", lit(id))
+          .repartitionByRange(col("dt"), col("conv_id"))
+          .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
           .write.mode(SaveMode.Overwrite)
           .partitionBy("dt", "slice_id").parquet(goldPath)
 
         if (failAfterGoldWriteOfSlice.contains(id))
           throw new RuntimeException(s"injected failure after gold write of $id (test hook)")
 
-        // --- state for the next slice ---
-        val writtenGold = spark.read.parquet(goldPath)
-          .filter(col("slice_id") === id).drop("slice_id").cache()
-        Checkpoint.writeConvState(outDir, id, nextState(writtenGold, state))
+        // --- state for the next slice (from the cached gold just written) ---
+        Checkpoint.writeConvState(outDir, id, nextState(gold, state))
 
         // --- lineage, then the committing watermark row (atomic last) ---
         val wallMs = (System.nanoTime() - t0) / 1000000L
-        val (rows, hw) = Checkpoint.appendLineage(outDir, writtenGold, id, wallMs)
+        val (rows, hw) = Checkpoint.appendLineage(outDir, gold, id, wallMs)
         Checkpoint.commitSlice(spark, outDir, id,
           new Timestamp(start * 1000L), new Timestamp(end * 1000L), hw, rows)
-        writtenGold.unpersist()
+        gold.unpersist()
         silver.unpersist()
         prevSlice = Some(id)
         SliceReport(id, rows, wallMs, skipped = false)

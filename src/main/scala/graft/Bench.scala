@@ -19,16 +19,41 @@ import graft.gold.AsOfJoin
   */
 object Bench {
 
-  def session(cpus: String): SparkSession = SparkSession.builder()
+  /** Optional tmpfs working dir (e.g. /dev/shm/graft): removes shared-
+    * disk IO noise from scaling measurements — shuffle spill and table
+    * IO go to RAM, so N-vs-4N compares CPU parallelism, not disk luck.
+    */
+  def workBase: Option[String] = sys.env.get("SPARK_GRAFT_WORK_DIR")
+
+  def newWorkDir(prefix: String): String = workBase match {
+    case Some(base) =>
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.createTempDirectory(p, prefix).toString
+    case None => java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
+  def session(cpus: String): SparkSession = {
+    val b = SparkSession.builder()
     .master(s"local[$cpus]")
     .appName("graft-bench")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // default 64 MB advisory size coalesces every shuffle to the SAME
+    // task count at any core count, flattening N-vs-4N scaling; at
+    // bench data sizes 8 MB keeps post-shuffle parallelism ~= cores
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // bench tables are small-but-representative; shrink the split size
+    // so scans parallelize across all cores (at real scale the default
+    // 128 MB splits give the same effect for free)
+    .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
+    workBase.foreach(base => b.config("spark.local.dir", s"$base/spark-local"))
+    b.getOrCreate()
+  }
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -42,7 +67,9 @@ object Bench {
   def writeBronze(spark: SparkSession, dir: String, nConvs: Long): Long = {
     val bronze = TranscriptGen.transcripts(spark, nConvs,
       avgTurns = 30, megaConvs = 2, megaTurns = 100000)
-    bronze.write.mode("overwrite").parquet(dir)
+    // enough splittable files that every parallelism level can scan
+    // with full width (a real bronze layer is thousands of files)
+    bronze.repartition(64).write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir).count()
   }
 
@@ -84,7 +111,7 @@ object Bench {
     }
 
     // headline: synthetic backfill throughput + as-of wall time
-    val work = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val work = newWorkDir("graft_bench")
     val bronzeDir = s"$work/bronze"
     val outDir = s"$work/out"
     val turns = writeBronze(spark, bronzeDir, nConvs)

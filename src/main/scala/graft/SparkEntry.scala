@@ -113,6 +113,26 @@ object SparkEntry {
         count(col("tool")).as("n_tool_calls"),
         sum(length(col("text"))).cast("long").as("chars"))
 
+  // ---- q19: session-level rollup (sessionize -> per-session features) ----
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    FeatureWindows.sessionize(FeatureWindows.lagFeatures(transcripts(s, dir)))
+      .groupBy(col("conv_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"),
+        (max(tsSec()) - min(tsSec())).as("duration_secs"),
+        count(col("tool")).as("n_tool_calls"))
+
+  // ---- q20: conversation-level rollup ----
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    transcripts(s, dir)
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        countDistinct(col("tool")).cast("int").as("n_tools"),
+        (max(tsSec()) - min(tsSec())).as("duration_secs"),
+        sum(when(col("role") === "tool", 1).otherwise(0)).cast("long").as("n_tool_turns"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_silver_dedup" -> (q1 _),
@@ -122,7 +142,9 @@ object SparkEntry {
     "q5_asof_join" -> (q5 _),
     "q6_latest_per_key" -> (q6 _),
     "q7_train_split" -> (q7 _),
-    "q8_tumbling_hourly" -> (q8 _)
+    "q8_tumbling_hourly" -> (q8 _),
+    "q19_session_stats" -> (q19 _),
+    "q20_conv_stats" -> (q20 _)
   ) ++ TrainingDataQueries.queries
 
   /** DuckDB oracle SQL, one per query above. The `transcripts` CTE is
@@ -227,7 +249,35 @@ object SparkEntry {
            |SELECT conv_id, date_trunc('hour', ts) AS hour_start,
            |  count(*) AS n_turns, count(tool) AS n_tool_calls,
            |  CAST(sum(length(text)) AS BIGINT) AS chars
-           |FROM transcripts GROUP BY conv_id, date_trunc('hour', ts)""".stripMargin
+           |FROM transcripts GROUP BY conv_id, date_trunc('hour', ts)""".stripMargin,
+
+      "q19_session_stats" ->
+        s"""$cte, gaps AS (
+           |  SELECT conv_id, turn_idx, tool, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+           |    CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+           |      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_secs
+           |  FROM transcripts
+           |), sess AS (
+           |  SELECT conv_id, turn_idx, tool, tsec,
+           |    CAST(sum(CASE WHEN gap_secs IS NULL OR gap_secs > 1800 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY conv_id ORDER BY turn_idx
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+           |  FROM gaps
+           |)
+           |SELECT conv_id, session_id, count(*) AS n_turns,
+           |  min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
+           |  max(tsec) - min(tsec) AS duration_secs,
+           |  count(tool) AS n_tool_calls
+           |FROM sess GROUP BY conv_id, session_id""".stripMargin,
+
+      "q20_conv_stats" ->
+        s"""$cte
+           |SELECT conv_id, count(*) AS n_turns,
+           |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           |  CAST(count(DISTINCT tool) AS INT) AS n_tools,
+           |  max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_secs,
+           |  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
+           |FROM transcripts GROUP BY conv_id""".stripMargin
     ) ++ TrainingDataQueries.oracleSql
   }
 }

@@ -59,7 +59,11 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sh_cnt", size(col("sh")))
-    val inv = sh.select(col("id"), col("sh_cnt"), explode(col("sh")).as("s"))
+    // join on the 8-byte shingle hash, not the string — same result
+    // (shingles are distinct per doc; a 64-bit cross-doc collision is
+    // ~n^2/2^64), half the shuffle bytes
+    val inv = sh.select(col("id"), col("sh_cnt"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
     val a = inv.select(col("id").as("id_a"), col("sh_cnt").as("cnt_a"), col("s"))
     val b = inv.select(col("id").as("id_b"), col("sh_cnt").as("cnt_b"), col("s"))
     a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
