@@ -54,7 +54,8 @@ object Backfill {
       nSlices: Int,
       sessionGapSecs: Long = TranscriptSchema.DefaultSessionGapSecs,
       failAfterGoldWriteOfSlice: Option[String] = None,
-      skewHeavyThreshold: Option[Long] = None): Seq[SliceReport] = {
+      skewHeavyThreshold: Option[Long] = None,
+      rangeLayoutWrites: Boolean = false): Seq[SliceReport] = {
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val committed = Checkpoint.committedSlices(spark, outDir)
@@ -93,8 +94,7 @@ object Backfill {
         val silver = SilverBuilder.build(sliceBronze)
           .join(context.select(col("conv_id"), col("turn_idx")), Seq("conv_id", "turn_idx"), "left_anti")
           .withColumn("slice_id", lit(id)).cache()
-        val sliceRows = silver.count()
-        if (sliceRows == 0L) {
+        if (silver.isEmpty) {
           // empty slice: propagate state, commit a zero-row watermark
           val state = Checkpoint.readConvState(spark, outDir, prevSlice)
           Checkpoint.writeConvState(outDir, id, state)
@@ -104,12 +104,16 @@ object Backfill {
           prevSlice = Some(id)
           SliceReport(id, 0L, (System.nanoTime() - t0) / 1000000L, skipped = false)
         } else {
-        // range layout: each task holds a contiguous (dt, conv) range,
-        // so a slice writes ~1 sorted file per task instead of
-        // tasks x days small files (file commit is driver-serial)
-        silver.repartitionByRange(col("dt"), col("conv_id"))
-          .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
-          .write.mode(SaveMode.Overwrite)
+        // optional range layout: contiguous (dt, conv) ranges per task
+        // give ~1 sorted file per task (instead of tasks x days) and
+        // compress better — worth the extra shuffle on real object
+        // storage; skipped by default where write bandwidth dominates
+        val silverOut =
+          if (rangeLayoutWrites)
+            silver.repartitionByRange(col("dt"), col("conv_id"))
+              .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
+          else silver
+        silverOut.write.mode(SaveMode.Overwrite)
           .partitionBy("dt", "slice_id").parquet(silverPath)
 
         // --- gold: range features over slice + lookback context ---
@@ -127,10 +131,13 @@ object Backfill {
         val state = Checkpoint.readConvState(spark, outDir, prevSlice)
         val gold = withState(ranged, state, sessionGapSecs).cache()
 
-        gold.withColumn("slice_id", lit(id))
-          .repartitionByRange(col("dt"), col("conv_id"))
-          .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
-          .write.mode(SaveMode.Overwrite)
+        val goldOut =
+          if (rangeLayoutWrites)
+            gold.withColumn("slice_id", lit(id))
+              .repartitionByRange(col("dt"), col("conv_id"))
+              .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
+          else gold.withColumn("slice_id", lit(id))
+        goldOut.write.mode(SaveMode.Overwrite)
           .partitionBy("dt", "slice_id").parquet(goldPath)
 
         if (failAfterGoldWriteOfSlice.contains(id))

@@ -73,12 +73,12 @@ object Bench {
     spark.read.parquet(dir).count()
   }
 
-  /** The headline backfill: 5 slices of 8 days (span covers the
+  /** The headline backfill: 4 slices of 10 days (span covers the
     * generator's 30-day stagger + conversation tails), skew dispatch on.
     */
   def runBackfill(spark: SparkSession, bronzeDir: String, outDir: String): Seq[Backfill.SliceReport] =
     Backfill.run(spark, spark.read.parquet(bronzeDir), outDir,
-      firstStartSec = 1704067200L, sliceSecs = 8L * 86400, nSlices = 5,
+      firstStartSec = 1704067200L, sliceSecs = 10L * 86400, nSlices = 4,
       skewHeavyThreshold = Some(50000L))
 
   /** As-of benchmark: one query per 10th turn at ts+60s vs the full

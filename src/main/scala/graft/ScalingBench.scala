@@ -88,7 +88,7 @@ object ScalingBench {
          |Input: deterministic synthetic transcripts (`graft.gen.TranscriptGen`,
          |$nConvs conversations, 2 planted 100k-turn mega-conversations,
          |$turns turns total). Job: full checkpointed backfill
-         |(bronze → silver → gold, 5 x 8-day slices, skew dispatch on) +
+         |(bronze → silver → gold, 4 x 10-day slices, skew dispatch on) +
          |as-of join of 1-in-10 feature queries vs the gold history.
          |Identical job and input at both parallelism levels
          |(`spark.sql.shuffle.partitions` = cores); this sandbox has no

@@ -64,4 +64,26 @@ object DatasetBuilder {
       .filter(col("dt") > date_sub(lit(maxDt), days))
       .drop((labelCols + "dt").toSeq: _*)
   }
+
+  /** Materialize train/validation/inference + a single-file JSON run
+    * metadata sink (replaces build_datasets.py:57-73, 101-113 writes
+    * and the RDD `saveAsTextFile` metadata sink :126-139 — a plain
+    * DataFrame JSON write, no RDD). `runId` is a caller-supplied
+    * deterministic id (defect D7: no wall clock).
+    */
+  def writeAll(gold: DataFrame, outDir: String, runId: String, trainPct: Int = 80): Unit = {
+    val spark = gold.sparkSession
+    val (train, valid) = trainValidation(gold, trainPct)
+    train.write.mode("overwrite").parquet(s"$outDir/train")
+    valid.write.mode("overwrite").parquet(s"$outDir/validation")
+    inference(gold).write.mode("overwrite").parquet(s"$outDir/inference")
+    import spark.implicits._
+    val meta = Seq((runId,
+      spark.read.parquet(s"$outDir/train").count(),
+      spark.read.parquet(s"$outDir/validation").count(),
+      spark.read.parquet(s"$outDir/inference").count(),
+      trainPct))
+      .toDF("run_id", "train_rows", "validation_rows", "inference_rows", "train_pct")
+    meta.coalesce(1).write.mode("overwrite").json(s"$outDir/metadata")
+  }
 }

@@ -40,46 +40,62 @@ object FastWindows {
     StructField("tool_distinct_24h", IntegerType, nullable = false),
     StructField("avg_chars_7d", DoubleType, nullable = false))
 
-  // one deque per frame: (tsSec, textLen, tool)
+  // one ring buffer per frame — primitive arrays, zero per-row
+  // allocation on the add/evict path (the sweep is the engine's
+  // hottest loop; boxed deques double its memory-bandwidth cost)
   private final class FrameQ(val spanSecs: Long) {
-      val q = new java.util.ArrayDeque[(Long, Long, String)]()
-      var cnt = 0L
-      var sumLen = 0L
-      var toolCalls = 0L
-      val distinct = new mutable.HashMap[String, Int]()
-      def add(ts: Long, len: Long, tool: String): Unit = {
-        q.addLast((ts, len, tool))
-        cnt += 1; sumLen += len
-        if (tool != null) {
-          toolCalls += 1
-          distinct.updateWith(tool) { case Some(c) => Some(c + 1); case None => Some(1) }
+    private var cap = 1024
+    private var ts = new Array[Long](cap)
+    private var len = new Array[Long](cap)
+    private var tool = new Array[String](cap)
+    private var head = 0 // index of oldest
+    private var size = 0
+    var sumLen = 0L
+    var toolCalls = 0L
+    val distinct = new mutable.HashMap[String, Int]()
+    def cnt: Long = size.toLong
+    private def grow(): Unit = {
+      val ncap = cap * 2
+      val (nts, nlen, ntool) = (new Array[Long](ncap), new Array[Long](ncap), new Array[String](ncap))
+      var i = 0
+      while (i < size) { val j = (head + i) % cap; nts(i) = ts(j); nlen(i) = len(j); ntool(i) = tool(j); i += 1 }
+      ts = nts; len = nlen; tool = ntool; head = 0; cap = ncap
+    }
+    def add(t: Long, l: Long, tl: String): Unit = {
+      if (size == cap) grow()
+      val tail = (head + size) % cap
+      ts(tail) = t; len(tail) = l; tool(tail) = tl
+      size += 1; sumLen += l
+      if (tl != null) {
+        toolCalls += 1
+        distinct.updateWith(tl) { case Some(c) => Some(c + 1); case None => Some(1) }
+      }
+    }
+    def evictBefore(minTs: Long): Unit = {
+      while (size > 0 && ts(head) < minTs) {
+        val l = len(head); val tl = tool(head)
+        tool(head) = null
+        head = (head + 1) % cap; size -= 1; sumLen -= l
+        if (tl != null) {
+          toolCalls -= 1
+          distinct.updateWith(tl) { case Some(1) => None; case Some(c) => Some(c - 1); case None => None }
         }
       }
-      def evictBefore(minTs: Long): Unit = {
-        while (!q.isEmpty && q.peekFirst()._1 < minTs) {
-          val (_, len, tool) = q.pollFirst()
-          cnt -= 1; sumLen -= len
-          if (tool != null) {
-            toolCalls -= 1
-            distinct.updateWith(tool) { case Some(1) => None; case Some(c) => Some(c - 1); case None => None }
-          }
-        }
-      }
+    }
   }
 
   private final class SlidingState {
     val f1h = new FrameQ(3600L)
     val f24h = new FrameQ(86400L)
     val f7d = new FrameQ(604800L)
-    def addAll(rows: Seq[(Long, Long, String)]): Unit = {
-      val t = rows.head._1
-      Seq(f1h, f24h, f7d).foreach { f =>
-        f.evictBefore(t - f.spanSecs)
-        rows.foreach { case (ts, len, tool) => f.add(ts, len, tool) }
-      }
+    def evictAll(t: Long): Unit = {
+      f1h.evictBefore(t - f1h.spanSecs)
+      f24h.evictBefore(t - f24h.spanSecs)
+      f7d.evictBefore(t - f7d.spanSecs)
     }
-    def features: (Long, Long, Long, Int, Double) =
-      (f1h.cnt, f1h.toolCalls, f1h.sumLen, f24h.distinct.size, f7d.sumLen.toDouble / f7d.cnt)
+    def addOne(t: Long, l: Long, tool: String): Unit = {
+      f1h.add(t, l, tool); f24h.add(t, l, tool); f7d.add(t, l, tool)
+    }
   }
 
   /** Append the five range features to `silver` (any extra columns ride
@@ -99,6 +115,7 @@ object FastWindows {
       .repartition(partCols: _*)
       .sortWithinPartitions(partCols :+ unix_timestamp(col("ts")) :+ col("turn_idx"): _*)
 
+    val inArity = inSchema.length
     sorted.mapPartitions { it =>
       val in = it.buffered
       new Iterator[Row] {
@@ -123,19 +140,30 @@ object FastWindows {
             group += in.next()
           // the whole tie group enters the frames before any member is
           // emitted — RANGE-frame semantics at equal order keys
-          state.addAll(group.map { r =>
+          state.evictAll(t)
+          var i = 0
+          while (i < group.length) {
+            val r = group(i)
             val text = r.getString(textIdx)
             val len = if (text == null) 0L else text.codePointCount(0, text.length).toLong
-            (t, len, if (r.isNullAt(toolIdx)) null else r.getString(toolIdx))
-          }.toSeq)
+            state.addOne(t, len, if (r.isNullAt(toolIdx)) null else r.getString(toolIdx))
+            i += 1
+          }
         }
 
         override def hasNext: Boolean = groupPos < group.length || in.hasNext
         override def next(): Row = {
           if (groupPos >= group.length) loadGroup()
           val r = group(groupPos); groupPos += 1
-          val (c1, tc1, s1, d24, a7) = state.features
-          Row.fromSeq(r.toSeq ++ Seq[Any](c1, tc1, s1, d24, a7))
+          val out = new Array[Any](inArity + 5)
+          var i = 0
+          while (i < inArity) { out(i) = r.get(i); i += 1 }
+          out(inArity) = state.f1h.cnt
+          out(inArity + 1) = state.f1h.toolCalls
+          out(inArity + 2) = state.f1h.sumLen
+          out(inArity + 3) = state.f24h.distinct.size
+          out(inArity + 4) = state.f7d.sumLen.toDouble / state.f7d.cnt
+          new org.apache.spark.sql.catalyst.expressions.GenericRow(out)
         }
       }
     }(Encoders.row(outSchema))

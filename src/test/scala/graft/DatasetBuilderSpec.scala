@@ -51,4 +51,19 @@ class DatasetBuilderSpec extends AnyFunSuite {
     val kept = gold.filter(col("dt") > date_sub(lit(maxDt), 2)).count()
     assert(inf.count() == kept && kept > 0)
   }
+
+  test("writeAll materializes train/validation/inference + single-file JSON metadata (S4/S5)") {
+    val dir = java.nio.file.Files.createTempDirectory("datasets").toString
+    DatasetBuilder.writeAll(gold, dir, runId = "run-0001")
+    val train = spark.read.parquet(s"$dir/train")
+    val valid = spark.read.parquet(s"$dir/validation")
+    val inf = spark.read.parquet(s"$dir/inference")
+    assert(train.count() + valid.count() == gold.count())
+    assert(!inf.columns.contains("dt"))
+    val metaFiles = new java.io.File(s"$dir/metadata").listFiles().filter(_.getName.endsWith(".json"))
+    assert(metaFiles.length == 1, "metadata must be a single JSON file")
+    val meta = spark.read.json(s"$dir/metadata").head()
+    assert(meta.getAs[String]("run_id") == "run-0001")
+    assert(meta.getAs[Long]("train_rows") == train.count())
+  }
 }
