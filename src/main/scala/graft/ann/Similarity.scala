@@ -31,6 +31,22 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Per-row precomputation for pairwise scoring: the double-cast
+    * vector and its norm are hoisted out of the O(n^2) pair loop —
+    * bitwise-identical results to [[cosine]] (same expressions, same
+    * evaluation order), ~3x less work per pair.
+    */
+  private def withVecNorm(df: org.apache.spark.sql.DataFrame, vecCol: String,
+      vd: String, norm: String): org.apache.spark.sql.DataFrame = {
+    val d = transform(col(vecCol), x => x.cast("double"))
+    df.withColumn(vd, d)
+      .withColumn(norm, sqrt(aggregate(col(vd), lit(0d), (acc, v) => acc + v * v)))
+  }
+
+  /** dot(a, b) / (na * nb) over precomputed columns. */
+  private def pairCos(vda: Column, vdb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(vda, vdb, (x, y) => x * y), lit(0d), (acc, v) => acc + v) / (na * nb)
+
   /** Exact top-k cosine neighbors for each query vector. `queries` and
     * `corpus` both need (idCol, vecCol); self-matches (same id) are
     * excluded. Query side is broadcast: corpus never shuffles.
@@ -41,11 +57,13 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = withVecNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("_q0")),
+      "_q0", "_qv", "_qn").drop("_q0")
+    val c = withVecNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_c0")),
+      "_c0", "_cv", "_cn").drop("_c0")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("_qv"), col("_cv")), 6))
+      .withColumn("score", round(pairCos(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -61,11 +79,13 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    val a = withVecNorm(embeddings.select(col(idCol).as("id_a"), col(vecCol).as("_a0")),
+      "_a0", "_va", "_na").drop("_a0")
+    val b = withVecNorm(embeddings.select(col(idCol).as("id_b"), col(vecCol).as("_b0")),
+      "_b0", "_vb", "_nb").drop("_b0")
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("_va"), col("_vb")), 6))
+      .withColumn("cos", round(pairCos(col("_va"), col("_vb"), col("_na"), col("_nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
