@@ -44,18 +44,30 @@ for name in sorted(os.listdir(out_dir)):
         e = exp[ecols].sort_values(ecols).reset_index(drop=True)
         for c in gcols:
             gv, ev = g[c], e[c]
+            # EXACT compare, matching the driver's sorted-value hash:
+            # numeric columns are widened to float64 first so that
+            # int32-vs-int64 dtype gaps don't mask value equality, but
+            # the VALUES must match bit-for-bit (no epsilon).
             try:
                 import pandas as pd
-                same = gv.equals(ev) or (
-                    pd.api.types.is_numeric_dtype(gv) and
-                    pd.api.types.is_numeric_dtype(ev) and
-                    (gv.astype(float).fillna(-9e99) - ev.astype(float).fillna(-9e99)).abs().max() < 1e-9)
-            except Exception as ex:
+                if (pd.api.types.is_numeric_dtype(gv)
+                        and pd.api.types.is_numeric_dtype(ev)):
+                    same = gv.astype(float).fillna(-9e99).equals(
+                        ev.astype(float).fillna(-9e99))
+                else:
+                    same = gv.astype(str).equals(ev.astype(str))
+            except Exception:
                 same = False
             if not same:
                 mism = (gv.astype(str) != ev.astype(str))
                 i = mism.idxmax()
-                status.append(f"COL {c} dtype g={gv.dtype} e={ev.dtype} first-mismatch@{i}: got={gv[i]!r} exp={ev[i]!r} ({mism.sum()} rows)")
+                near = ""
+                try:
+                    d = (gv.astype(float).fillna(-9e99) - ev.astype(float).fillna(-9e99)).abs().max()
+                    near = f" max-abs-diff={d:g}"  # diagnostic only
+                except Exception:
+                    pass
+                status.append(f"COL {c} dtype g={gv.dtype} e={ev.dtype} first-mismatch@{i}: got={gv[i]!r} exp={ev[i]!r} ({mism.sum()} rows){near}")
     if status:
         fail += 1
         print(f"{name:24s} FAIL  " + " | ".join(status))

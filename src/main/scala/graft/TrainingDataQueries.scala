@@ -46,7 +46,10 @@ object TrainingDataQueries {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 7, chunks = 8)),
 
     "q16_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(emb(s, dir), threshold = 0.45)),
+      // blocked-exact primary (no cartesian / whole-table broadcast in
+      // the plan — SimilaritySpec asserts); nearDupPairs stays the
+      // broadcast brute-force spec oracle
+      Similarity.nearDupPairsBlocked(emb(s, dir), threshold = 0.45)),
 
     "q17_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -75,6 +78,101 @@ object TrainingDataQueries {
       |  FROM toks
       |)""".stripMargin
 
+  /** DuckDB fold of 8 hex digits to a BIGINT in [0, 2^32) — the oracle
+    * twin of Spark's `conv(substring(md5(w), a, 8), 16, 10)`.
+    */
+  private def hexFold(hexExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($hexExpr, ''), " +
+      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, b) -> a*16 + b)"
+
+  /** q15 oracle: replays the md5-halves simhash bit by bit. Per doc,
+    * bit b is set iff 2 * |tokens with bit b of the token hash| >
+    * |tokens|; hamming over all unordered pairs; keep <= maxHamming.
+    * The Spark side's chunk banding is exact for maxHamming < chunks
+    * (pigeonhole), so the two agree row-for-row.
+    */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val bitCols = (0 until 64).map { b =>
+      val (arr, sh) = if (b < 32) ("h1", b) else ("h2", b - 32)
+      s"CASE WHEN 2 * len(list_filter($arr, h -> ((h >> $sh) & 1) = 1)) > len($arr) THEN 1 ELSE 0 END AS b$b"
+    }.mkString(",\n    ")
+    val hamSum = (0 until 64).map(b => s"(CASE WHEN a.b$b <> b.b$b THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS arr FROM documents
+       |), hs AS (
+       |  SELECT doc_id,
+       |    list_transform(arr, w -> ${hexFold("substr(md5(w), 1, 8)")}) AS h1,
+       |    list_transform(arr, w -> ${hexFold("substr(md5(w), 9, 8)")}) AS h2
+       |  FROM toks
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitCols
+       |  FROM hs
+       |), ham AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    $hamSum AS hamming
+       |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= $maxHamming""".stripMargin
+  }
+
+  /** q18 oracle: replays the random-hyperplane LSH with the IDENTICAL
+    * plane constants inlined as literals (same seed/layout as
+    * [[Similarity.lshTopK]]); projections are written as explicit
+    * left-associated sums so the fp evaluation order matches Spark's
+    * aggregate fold bit-for-bit.
+    */
+  private def lshOracleSql(tables: Int, bits: Int, dim: Int, seed: Long, k: Int): String = {
+    val planes = Similarity.hyperplanes(tables, bits, dim, seed)
+    def projSql(t: Int, b: Int): String =
+      (0 until dim).map(i => s"v[${i + 1}]*(${planes(t)(b)(i)})").mkString(" + ")
+    def bucketSql(t: Int): String =
+      (0 until bits).map { b =>
+        val w = 1L << (bits - 1 - b)
+        s"(CASE WHEN ${projSql(t, b)} >= 0 THEN $w ELSE 0 END)"
+      }.mkString(" + ")
+    val bk = (0 until tables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), bk AS (
+       |  $bk
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(a.v, b.v), 6) AS score
+       |  FROM cand JOIN e a ON a.vec_id = cand.query_id
+       |            JOIN e b ON b.vec_id = cand.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= $k""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard pairs at t=0.8 — shared by q10 (prefix-filter
+    * path) and q14 (MinHash LSH + exact-verify path), which agree on
+    * this corpus (see q14 note below).
+    */
+  private val jaccardOracleSql: String =
+    s"""$shinglesCte, inv AS (
+       |  SELECT doc_id, unnest(s) AS g, len(s) AS cnt FROM sh
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.cnt AS cnt_a, b.cnt AS cnt_b,
+       |         count(*) AS inter
+       |  FROM inv a JOIN inv b USING (g)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id_a, id_b,
+       |  round(inter * 1.0 / (cnt_a + cnt_b - inter), 6) AS jaccard
+       |FROM pairs
+       |WHERE round(inter * 1.0 / (cnt_a + cnt_b - inter), 6) >= 0.8""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q9_dedup_exact" ->
       """SELECT doc_id,
@@ -82,20 +180,28 @@ object TrainingDataQueries {
         |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY lower(trim(text))) AS INT) AS is_dup
         |FROM documents""".stripMargin,
 
-    "q10_ngram_jaccard" ->
-      s"""$shinglesCte, inv AS (
-         |  SELECT doc_id, unnest(s) AS g, len(s) AS cnt FROM sh
-         |), pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.cnt AS cnt_a, b.cnt AS cnt_b,
-         |         count(*) AS inter
-         |  FROM inv a JOIN inv b USING (g)
-         |  WHERE a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4
-         |)
-         |SELECT id_a, id_b,
-         |  round(inter * 1.0 / (cnt_a + cnt_b - inter), 6) AS jaccard
-         |FROM pairs
-         |WHERE round(inter * 1.0 / (cnt_a + cnt_b - inter), 6) >= 0.8""".stripMargin,
+    "q10_ngram_jaccard" -> jaccardOracleSql,
+
+    // the LSH+verify path is EXACT at (k=32, bands=16, t=0.8) on this
+    // corpus — a qualifying pair misses all bands with
+    // p = (1 - j^2)^16 <= 8e-8 and DedupSpec asserts set equality —
+    // so q14 shares q10's exact-Jaccard oracle verbatim
+    "q14_minhash_dedup" -> jaccardOracleSql,
+
+    "q13_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents
+        |)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(arr, w ->
+        |    HEXFOLD8 % 2147483647
+        |  )), (acc, h) -> (acc*31 + h) % 2147483647) AS fingerprint
+        |FROM toks""".stripMargin
+        .replace("HEXFOLD8", hexFold("substr(md5(w), 1, 8)")),
+
+    "q15_simhash_dedup" -> simhashOracleSql(maxHamming = 7),
+
+    "q18_ann_lsh" -> lshOracleSql(tables = 8, bits = 8, dim = 64, seed = 42L, k = 5),
 
     "q11_text_stats" ->
       """WITH base AS (

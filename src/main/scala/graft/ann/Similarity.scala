@@ -92,11 +92,63 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: `tables` tables of `bits`
     * planes each, dimension `dim`, derived from a fixed seed (no
-    * wall-clock, reproducible across runs).
+    * wall-clock, reproducible across runs). Package-visible so the
+    * q18 DuckDB oracle can inline the identical constants.
     */
-  private def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+  private[graft] def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Exact near-duplicate pairs via BLOCKED pairwise scoring — the
+    * distributed all-pairs scheme: each vector is hashed to one of
+    * `blocks` blocks; every unordered block pair (i, j), i <= j,
+    * becomes one join key; the left side replicates each vector to
+    * tasks {(own, j) | j >= own}, the right side to
+    * {(i, own) | i <= own}. The equi-join on the task key co-locates
+    * exactly the rows of blocks i and j, so the plan is a plain
+    * shuffled hash/sort-merge join — NO CartesianProduct, NO
+    * BroadcastNestedLoopJoin, NO whole-table broadcast — and the
+    * O(n^2/2) cosine work spreads evenly over blocks*(blocks+1)/2
+    * tasks that scale out horizontally. Replication factor is
+    * ~blocks/2 per side (tune `blocks` ~ sqrt(2 * desired tasks)).
+    *
+    * Near-dup at a WEAK cosine threshold (like q16's 0.45) is
+    * inherently all-pairs — no LSH family prunes reliably there; for
+    * dup-detection thresholds (>= ~0.8) prefer [[lshTopK]]-style
+    * bucketing. Output is bit-identical to [[nearDupPairs]].
+    */
+  def nearDupPairsBlocked(
+      embeddings: DataFrame,
+      threshold: Double,
+      blocks: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = withVecNorm(
+      embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v0")), "_v0", "_v", "_n")
+      .drop("_v0")
+      .withColumn("_blk", pmod(xxhash64(col("_id")), lit(blocks)).cast("int"))
+    val left = base
+      .withColumn("_task", explode(transform(
+        sequence(col("_blk"), lit(blocks - 1)), j => col("_blk") * blocks + j)))
+      .select(col("_task"), col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
+    val right = base
+      .withColumn("_task", explode(transform(
+        sequence(lit(0), col("_blk")), i => i * blocks + col("_blk"))))
+      .select(col("_task"), col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
+    // off-diagonal task (i, j), i < j: blocks are disjoint, every
+    // unordered pair appears exactly once (its block-i member only on
+    // the left) — keep all, normalize id order afterwards. Diagonal
+    // task (i, i): both sides hold block i, dedup with id_a < id_b.
+    // pairCos is symmetric bit-for-bit (IEEE multiply commutes, fold
+    // order is positional), so cosine needs no operand swap.
+    val onDiagonal = col("_task") % blocks === floor(col("_task") / blocks).cast("int")
+    left.join(right, Seq("_task"))
+      .filter(!onDiagonal || col("id_a") < col("id_b"))
+      .withColumn("cos", round(pairCos(col("_va"), col("_vb"), col("_na"), col("_nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
   }
 
   /** LSH-bucketed approximate top-k: sign-of-projection bucket key per

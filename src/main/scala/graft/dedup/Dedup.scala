@@ -46,10 +46,22 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity pairs (a < b) with
-    * jaccard >= threshold. Pairs are discovered through an inverted
-    * shingle index (explode + self-join), so only documents sharing at
-    * least one shingle are compared — still the exact result, since
-    * jaccard > 0 requires a shared shingle.
+    * jaccard >= threshold, via PREFIX-FILTERED candidate generation
+    * (the All-Pairs / PPJoin argument): order shingles by ascending
+    * global document frequency (ties by hash) and index only each
+    * document's first `|d| - ceil(t*|d|) + 1` shingles. Exactness: if
+    * jaccard(A,B) >= t then |A∩B| >= ceil(t*|A|), so the
+    * smallest-order element of A∩B sits within the first
+    * |A| - |A∩B| + 1 <= prefix(A) shingles of A (and likewise of B) —
+    * every qualifying pair collides inside both prefixes. Candidates
+    * are then verified with exact Jaccard over the full hashed shingle
+    * sets.
+    *
+    * Scale: df-ascending ordering pushes stop-shingles ("the and of")
+    * out of the prefixes, so one hot shingle no longer creates a
+    * |bucket|^2 candidate explosion — the round-1 q10 skew killer.
+    * Join keys are 8-byte shingle hashes (a 64-bit cross-doc collision
+    * is ~n^2/2^64), halving shuffle bytes vs strings.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -57,18 +69,27 @@ object Dedup {
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = docs.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
       .withColumn("sh_cnt", size(col("sh")))
-    // join on the 8-byte shingle hash, not the string — same result
-    // (shingles are distinct per doc; a 64-bit cross-doc collision is
-    // ~n^2/2^64), half the shuffle bytes
-    val inv = sh.select(col("id"), col("sh_cnt"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
-    val a = inv.select(col("id").as("id_a"), col("sh_cnt").as("cnt_a"), col("s"))
-    val b = inv.select(col("id").as("id_b"), col("sh_cnt").as("cnt_b"), col("s"))
-    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("cnt_a"), col("cnt_b"))
-      .agg(count(lit(1)).as("inter"))
+    val inv = sh.select(col("id"), col("sh_cnt"), explode(col("sh")).as("s"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // prefix length with a downward-biased ceil: an fp wobble in
+    // t*cnt may only LENGTHEN the prefix (still exact, never lossy)
+    val prefix = inv.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <=
+        col("sh_cnt") - ceil(lit(threshold) * col("sh_cnt") - lit(1e-9)).cast("int") + 1)
+      .select(col("id"), col("s"))
+    val candidates = prefix.select(col("id").as("id_a"), col("s"))
+      .join(prefix.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sh_cnt").as("cnt_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sh_cnt").as("cnt_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("cnt_a") + col("cnt_b") - col("inter")), 6))
@@ -154,18 +175,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: bit b is set iff the sum over tokens
-    * of (+1 if bit b of xxhash64(token) else -1) is positive.
+  /** Per-token 64-bit hash as two 32-bit halves derived from md5 (the
+    * hash both Spark and DuckDB compute identically over UTF-8, so the
+    * q15 oracle can replay simhash exactly): h1 = first 8 hex digits,
+    * h2 = next 8. Bit b of the token hash is bit b of h1 for b < 32,
+    * bit b-32 of h2 otherwise.
     */
-  def simhash(text: Column, bits: Int = 64): Column = {
+  private[graft] def tokenHashHalves(text: Column): (Column, Column) = {
     val toks = split(norm(text), "\\s+")
-    // one aggregate pass per bit, statically unrolled (shift amounts
-    // must be literals); each pass is a codegen'd scan of the token array
-    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-      val vote = aggregate(toks, lit(0L),
-        (s, w) => s + (shiftright(xxhash64(w), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
-      acc + when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    (transform(toks, w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")),
+      transform(toks, w => conv(substring(md5(w), 9, 8), 16, 10).cast("long")))
+  }
+
+  /** 64-bit SimHash from precomputed token-hash halves: bit b is set
+    * iff the sum over tokens of (+1 if bit b of the token hash else -1)
+    * is positive — i.e. 2 * |{tokens with bit b}| > |tokens|. One
+    * size(filter(...)) scan per bit over the (already hashed) long
+    * array; shift amounts are static literals.
+    */
+  private[graft] def simhashFromHalves(h1: Column, h2: Column): Column =
+    (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      val (arr, sh) = if (b < 32) (h1, b) else (h2, b - 32)
+      val setCnt = size(filter(arr, h => shiftright(h, sh).bitwiseAND(lit(1L)) === 1L))
+      acc + when(setCnt * 2 > size(arr), lit(1L << b)).otherwise(lit(0L))
     }
+
+  /** 64-bit SimHash of a text column (md5-derived token bits). */
+  def simhash(text: Column): Column = {
+    val (h1, h2) = tokenHashHalves(text)
+    simhashFromHalves(h1, h2)
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming,
@@ -181,7 +219,12 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     val width = 64 / chunks
-    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    // hash halves materialized in their own projection so the 64
+    // bit-vote expressions scan precomputed long arrays instead of
+    // re-hashing every token 64 times
+    val (h1, h2) = tokenHashHalves(col(textCol))
+    val sh = docs.select(col(idCol).as("id"), h1.as("_h1"), h2.as("_h2"))
+      .select(col("id"), simhashFromHalves(col("_h1"), col("_h2")).as("sim"))
     val chunkArr = array((0 until chunks).map { c =>
       shiftright(col("sim"), c * width).bitwiseAND(lit((1L << width) - 1L))
     }: _*)

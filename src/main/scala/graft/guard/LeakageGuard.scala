@@ -25,18 +25,25 @@ object LeakageGuard {
   def violations(df: DataFrame, labelCols: Set[String] = Set.empty): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
 
+    // sign of a literal: Some(s) if statically known, None otherwise
+    def litSignum(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, _)             => Some(v.sign)
+      case Literal(v: Long, _)            => Some(v.sign.toInt)
+      case Literal(v: Short, _)           => Some(v.toInt.sign)
+      case Literal(v: java.math.BigDecimal, _) => Some(v.signum)
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => Some(v.toBigDecimal.signum)
+      case Literal(v: Double, _)          => Some(v.sign.toInt)
+      case Literal(v: Float, _)           => Some(v.sign.toInt)
+      case _                              => None
+    }
+
     def boundOk(e: Expression): Boolean = e match {
       case CurrentRow | UnboundedPreceding => true
       case UnboundedFollowing             => false
-      case Literal(v: Int, _)             => v <= 0
-      case Literal(v: Long, _)            => v <= 0L
-      case Literal(v: Short, _)           => v <= 0
-      case Literal(v: java.math.BigDecimal, _) => v.signum <= 0
-      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toBigDecimal.signum <= 0
-      case Literal(v: Double, _)          => v <= 0d
-      case Literal(v: Float, _)           => v <= 0f
-      case UnaryMinus(_, _)               => true
-      case _                              => false // unverifiable boundary ⇒ reject
+      // -(lit) is only a PRECEDING bound when the operand is known
+      // non-negative: -(-5) FOLLOWING must NOT pass
+      case UnaryMinus(child, _)           => litSignum(child).exists(_ >= 0)
+      case _                              => litSignum(e).exists(_ <= 0) // unverifiable ⇒ reject
     }
 
     def check(we: WindowExpression, owner: String): Unit = {
@@ -55,21 +62,48 @@ object LeakageGuard {
     val plan = df.queryExecution.analyzed
 
     // The analyzer extracts window expressions into internal aliases
-    // (`_we0 AS label_x` over `Window [lead(...) AS _we0]`), so a label
-    // exemption must follow attribute references down the plan: any
-    // named expression that IS a label, or whose output feeds an
-    // exempted expression, is exempt. Fixpoint over the (acyclic) plan.
-    var exempt = Set.empty[ExprId]
+    // (`_we0 AS label_x` over `Window [lead(...) AS _we0]`), so the
+    // label exemption must follow attribute references. But exemption
+    // must flow ONLY to expressions consumed EXCLUSIVELY by labels:
+    // round 1 exempted every attribute a label referenced, so a
+    // future-reading FEATURE was silently skipped whenever some label
+    // also read it — a false negative. Here an exprId is exempt iff
+    //   (a) a named expression with that id is itself a label, or
+    //   (b) it has at least one consumer, every consumer is exempt,
+    //       and it is not consumed outside named expressions (plan
+    //       output, filter/join/sort conditions).
+    val labelIds = scala.collection.mutable.Set.empty[ExprId]
+    val consumers = scala.collection.mutable.Map.empty[ExprId, Set[ExprId]]
+    val external = scala.collection.mutable.Set.empty[ExprId]
+
+    plan.foreach { node =>
+      node.expressions.foreach {
+        case ne: NamedExpression =>
+          if (labelCols.contains(ne.name)) labelIds += ne.exprId
+          (ne.references.map(_.exprId).toSet - ne.exprId).foreach { r =>
+            consumers(r) = consumers.getOrElse(r, Set.empty) + ne.exprId
+          }
+        case other =>
+          // non-named consumption (filter/join/sort/...) — a
+          // future-reading column used here is a real leak path
+          other.references.foreach(a => external += a.exprId)
+      }
+    }
+    plan.output.foreach { a =>
+      if (!labelCols.contains(a.name)) external += a.exprId
+    }
+    // the label declaration covers the column wherever it flows —
+    // filtering rows BY a label (drop-null-labels etc.) is standard
+    external --= labelIds
+
+    var exempt: Set[ExprId] = labelIds.toSet
     var changed = true
     while (changed) {
       changed = false
-      plan.foreach { node =>
-        node.expressions.foreach {
-          case ne: NamedExpression
-              if labelCols.contains(ne.name) || exempt.contains(ne.exprId) =>
-            val refs = ne.references.map(_.exprId).toSet + ne.exprId
-            if (!refs.subsetOf(exempt)) { exempt ++= refs; changed = true }
-          case _ => ()
+      consumers.foreach { case (id, cs) =>
+        if (!exempt.contains(id) && !external.contains(id) &&
+            cs.nonEmpty && cs.subsetOf(exempt)) {
+          exempt += id; changed = true
         }
       }
     }
@@ -77,8 +111,9 @@ object LeakageGuard {
     plan.foreach { node =>
       node.expressions.foreach { root =>
         val (owner, skip) = root match {
-          case ne: NamedExpression => (ne.name, labelCols.contains(ne.name) || exempt.contains(ne.exprId))
-          case _                   => ("<expr>", false)
+          case ne: NamedExpression =>
+            (ne.name, exempt.contains(ne.exprId) && !external.contains(ne.exprId))
+          case _ => ("<expr>", false)
         }
         if (!skip) {
           root.foreach {

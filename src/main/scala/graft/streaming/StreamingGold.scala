@@ -48,11 +48,17 @@ object StreamingGold {
       gapSecs: Long = TranscriptSchema.DefaultSessionGapSecs,
       watermarkDelay: String = "2 minutes"): DataFrame =
     bronze
-      .withWatermark("ts", watermarkDelay)
       // session_window keeps events together when diff < gap (strict);
       // the batch sessionizer breaks when gap > threshold (also keeps
-      // at ==), so gap+1 aligns the two exactly
-      .groupBy(session_window(col("ts"), s"${gapSecs + 1} seconds"), col("conv_id"))
+      // at ==), so gap+1 aligns the two exactly — PROVIDED both sides
+      // see whole-second timestamps. The batch gap floors to epoch
+      // seconds (unix_timestamp), so floor here too: with sub-second
+      // events a raw-ts session_window would classify boundary gaps
+      // differently. The floored column carries the watermark (the
+      // session column and the watermark column must coincide).
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withWatermark("ts_sec", watermarkDelay)
+      .groupBy(session_window(col("ts_sec"), s"${gapSecs + 1} seconds"), col("conv_id"))
       .agg(count(lit(1)).as("n_turns"),
         min(col("turn_idx")).as("first_turn"),
         max(col("turn_idx")).as("last_turn"))

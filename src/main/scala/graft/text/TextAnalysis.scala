@@ -68,14 +68,23 @@ object TextAnalysis {
       .drop("_en", "_de", "_fr", "_es")
   }
 
+  /** 32-bit token hash shared with the DuckDB oracle: the first 8 hex
+    * digits of md5(token), reduced mod 2^31-1. md5 is the one 64-bit+
+    * hash both engines compute identically over UTF-8 bytes (xxhash64
+    * has no DuckDB twin), which is what makes q13/q15 oracle-checkable.
+    */
+  private[graft] def tokenHash32(w: Column): Column =
+    pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(2147483647L))
+
   /** Rolling polynomial document fingerprint over tokens, kept in
     * [0, 2^31) with modular arithmetic at every step so it is safe
     * under ANSI mode (Spark 4 default) — no silent or throwing
     * overflow. Content-defined: word-order sensitive, whitespace-layout
-    * insensitive.
+    * insensitive. Token hash is md5-derived ([[tokenHash32]]) so DuckDB
+    * can replay the exact value.
     */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint",
       aggregate(tokens(col(textCol)), lit(0L),
-        (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), lit(2147483647L)), lit(2147483647L))))
+        (acc, w) => pmod(acc * 31L + tokenHash32(w), lit(2147483647L))))
 }

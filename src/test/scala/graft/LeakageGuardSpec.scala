@@ -43,4 +43,36 @@ class LeakageGuardSpec extends AnyFunSuite {
     val df = t.withColumn("label_next_role", lead(col("role"), 1).over(w))
     assert(LeakageGuard.violations(df, labelCols = Set("label_next_role")).isEmpty)
   }
+
+  test("a future-reading FEATURE is flagged even when a label also reads it") {
+    // round-1 false negative: `nxt` fed the label, so the old fixpoint
+    // exempted it — but nxt is also in the output as a feature
+    val df = t
+      .withColumn("nxt", lead(col("role"), 1).over(w))
+      .withColumn("label_y", (col("nxt") === "tool").cast("int"))
+    val v = LeakageGuard.violations(df, labelCols = Set("label_y"))
+    assert(v.nonEmpty && v.exists(_.contains("nxt")), v.mkString("; "))
+  }
+
+  test("a label-only intermediate (dropped from output) stays exempt") {
+    val df = t
+      .withColumn("nxt", lead(col("role"), 1).over(w))
+      .withColumn("label_y", (col("nxt") === "tool").cast("int"))
+      .drop("nxt")
+    assert(LeakageGuard.violations(df, labelCols = Set("label_y")).isEmpty)
+  }
+
+  test("filtering rows by the label does not un-exempt it") {
+    val df = t
+      .withColumn("label_next_role", lead(col("role"), 1).over(w))
+      .filter(col("label_next_role").isNotNull)
+    assert(LeakageGuard.violations(df, labelCols = Set("label_next_role")).isEmpty)
+  }
+
+  test("double-negated frame bound -(-5) FOLLOWING is rejected") {
+    val df = t.withColumn("fut3", expr(
+      "sum(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx " +
+        "RANGE BETWEEN CURRENT ROW AND -(-5) FOLLOWING)"))
+    assert(LeakageGuard.violations(df).nonEmpty)
+  }
 }

@@ -60,4 +60,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.filter(col("cos") < 0.99).count() == 0)
     assert(pairs.count() > 0) // same-cluster points are near-dups
   }
+
+  test("blocked near-dup equals brute force bit-for-bit, several block counts") {
+    val exact = Similarity.nearDupPairs(clustered, threshold = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    for (blocks <- Seq(1, 3, 16)) {
+      val got = Similarity.nearDupPairsBlocked(clustered, threshold = 0.99, blocks = blocks)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == exact, s"blocks=$blocks: ${got.size} vs ${exact.size}")
+    }
+  }
+
+  test("blocked near-dup plans no cartesian product / nested-loop broadcast") {
+    val plan = Similarity.nearDupPairsBlocked(clustered, threshold = 0.99, blocks = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
