@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,27 @@ object Backfill {
 
   def sliceId(startSec: Long): String = s"s$startSec"
 
+  /** Timestamp literal of `sec` matching the column's own type (ntz or
+    * tz — the generator writes tz, driver parquet reads back ntz).
+    * Comparing `ts` against a folded literal — instead of wrapping the
+    * column in unix_timestamp() — keeps the predicate pushable into the
+    * parquet scan (round-1 scale-killer #1: every slice re-scanned the
+    * whole table). Equivalent to the epoch-second compare because slice
+    * bounds are whole seconds.
+    */
+  private def tsLit(df: DataFrame, sec: Long): Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC))
+      case _ => lit(java.time.Instant.ofEpochSecond(sec))
+    }
+
+  /** UTC calendar date containing epoch-second `sec` — the matching
+    * `dt` partition predicate (dt = to_date(ts), UTC session).
+    */
+  private def dtLit(sec: Long): Column =
+    lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))))
+
   /** Run the backfill for contiguous slices covering
     * [firstStartSec, firstStartSec + nSlices * sliceSecs). `bronze` is
     * the raw input (any layout); rows are routed to slices by ts.
@@ -77,20 +98,11 @@ object Backfill {
         // cross-slice dedup horizon: a (conv_id, turn_idx) re-sent in a
         // later slice within maxLookback is dropped here; beyond that
         // horizon it is past the watermark, like any late-data policy)
-        val context: DataFrame =
-          if (Checkpoint.pathExists(spark, silverPath))
-            spark.read.parquet(silverPath)
-              .filter(col("slice_id") =!= id &&
-                unix_timestamp(col("ts")) >= start - MaxLookbackSecs &&
-                unix_timestamp(col("ts")) < start)
-              .drop("slice_id")
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(TranscriptSchema.silver.fields))
+        val context = contextRead(spark, silverPath, id, start)
 
         // --- bronze -> silver for this slice (half-open, D6 fix) ---
         val sliceBronze = bronze.filter(
-          unix_timestamp(col("ts")) >= start && unix_timestamp(col("ts")) < end)
+          bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end))
         val silver = SilverBuilder.build(sliceBronze)
           .join(context.select(col("conv_id"), col("turn_idx")), Seq("conv_id", "turn_idx"), "left_anti")
           .withColumn("slice_id", lit(id)).cache()
@@ -125,7 +137,7 @@ object Backfill {
         val ranged = (skewHeavyThreshold match {
           case Some(thr) => graft.gold.FastWindows.rangeFeaturesAuto(withContext, thr)
           case None      => graft.gold.FastWindows.rangeFeatures(withContext)
-        }).filter(unix_timestamp(col("ts")) >= start)
+        }).filter(col("ts") >= tsLit(withContext, start))
 
         // --- lag/gap/session with carried per-conversation state ---
         val state = Checkpoint.readConvState(spark, outDir, prevSlice)
@@ -160,6 +172,28 @@ object Backfill {
     }
     reports
   }
+
+  /** Lookback context: the `[start - MaxLookback, start)` tail of the
+    * already-written silver table. The filter combines dt partition
+    * predicates (a superset of the ts range — dt is the UTC date of
+    * ts) with ts-literal bounds, so the read prunes to ~8 daily
+    * partitions AND pushes the row filter into the parquet scan
+    * (PruningSpec asserts both), instead of round 1's
+    * unix_timestamp(ts)-wrapped full scan.
+    */
+  private[graft] def contextRead(
+      spark: SparkSession, silverPath: String, id: String, start: Long): DataFrame =
+    if (Checkpoint.pathExists(spark, silverPath)) {
+      val silverAll = spark.read.parquet(silverPath)
+      silverAll
+        .filter(col("slice_id") =!= id &&
+          col("dt") >= dtLit(start - MaxLookbackSecs) && col("dt") <= dtLit(start) &&
+          silverAll("ts") >= tsLit(silverAll, start - MaxLookbackSecs) &&
+          silverAll("ts") < tsLit(silverAll, start))
+        .drop("slice_id")
+    } else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(TranscriptSchema.silver.fields))
 
   /** lag/gap/session over a slice, seeded by the previous slice's
     * per-conversation state — exact across slice boundaries.

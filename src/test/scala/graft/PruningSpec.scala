@@ -45,6 +45,26 @@ class PruningSpec extends AnyFunSuite {
       s"expected pushed filters:\n$scan")
   }
 
+  test("backfill lookback context read prunes dt partitions and pushes ts filters") {
+    // silver laid out like the backfill writes it: partitioned (dt, slice_id)
+    val dir = Files.createTempDirectory("prune_ctx").toString
+    SilverBuilder.build(TranscriptGen.transcripts(spark, nConvs = 20, avgTurns = 15))
+      .withColumn("slice_id", lit("s1704067200"))
+      .write.partitionBy("dt", "slice_id").parquet(s"$dir/silver")
+    val ctx = Backfill.contextRead(spark, s"$dir/silver", "s1704931200", 1704931200L)
+    val scan = ctx.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("(dt"),
+      s"expected dt PartitionFilters in the context read:\n$scan")
+    val pushed = scan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("ts"), s"expected ts in PushedFilters:\n$scan")
+    // and the semantics: exactly the [start-7d, start) half-open window
+    val bounds = ctx.agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+    if (!bounds.isNullAt(0)) {
+      assert(bounds.getLong(0) >= 1704931200L - 604800L)
+      assert(bounds.getLong(1) < 1704931200L)
+    }
+  }
+
   test("column pruning reaches the scan (ReadSchema only has needed columns)") {
     val df = spark.read.parquet(goldDir).select("conv_id", "turns_cnt_1h")
     val scan = df.queryExecution.executedPlan.toString
