@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.gold.FeatureWindows
+import graft.gold.{FeatureWindows, FusedSweep}
 import graft.meta.Checkpoint
 import graft.schema.TranscriptSchema
 import graft.silver.SilverBuilder
@@ -76,14 +76,16 @@ object Backfill {
       sessionGapSecs: Long = TranscriptSchema.DefaultSessionGapSecs,
       failAfterGoldWriteOfSlice: Option[String] = None,
       skewHeavyThreshold: Option[Long] = None,
-      rangeLayoutWrites: Boolean = false): Seq[SliceReport] = {
+      rangeLayoutWrites: Boolean = false,
+      compactStateEvery: Int = 16,
+      segmentSecs: Long = 604800L): Seq[SliceReport] = {
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val committed = Checkpoint.committedSlices(spark, outDir)
     val silverPath = s"$outDir/silver"
     val goldPath = s"$outDir/gold"
+    val silverCols = TranscriptSchema.silver.fieldNames.toSeq
 
-    var prevSlice: Option[String] = None
     val reports = (0 until nSlices).map { i =>
       val start = firstStartSec + i * sliceSecs
       val end = start + sliceSecs
@@ -91,87 +93,151 @@ object Backfill {
       val t0 = System.nanoTime()
 
       if (committed.contains(id)) {
-        prevSlice = Some(id)
         SliceReport(id, 0L, 0L, skipped = true)
       } else {
         // --- lookback context from already-written silver (also the
         // cross-slice dedup horizon: a (conv_id, turn_idx) re-sent in a
-        // later slice within maxLookback is dropped here; beyond that
+        // later slice within maxLookback is dropped; beyond that
         // horizon it is past the watermark, like any late-data policy)
         val context = contextRead(spark, silverPath, id, start)
 
-        // --- bronze -> silver for this slice (half-open, D6 fix) ---
-        val sliceBronze = bronze.filter(
-          bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end))
-        val silver = SilverBuilder.build(sliceBronze)
-          .join(context.select(col("conv_id"), col("turn_idx")), Seq("conv_id", "turn_idx"), "left_anti")
-          .withColumn("slice_id", lit(id)).cache()
-        if (silver.isEmpty) {
-          // empty slice: propagate state, commit a zero-row watermark
-          val state = Checkpoint.readConvState(spark, outDir, prevSlice)
-          Checkpoint.writeConvState(outDir, id, state)
+        // --- the current slice, half-open [start, end), validated ---
+        val sliceBronze = SilverBuilder.validate(bronze.filter(
+          bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end)))
+
+        if (sliceBronze.isEmpty) {
+          // empty slice: zero-row watermark; the delta chain simply has
+          // no entry for this slice
           Checkpoint.commitSlice(spark, outDir, id,
             new Timestamp(start * 1000L), new Timestamp(end * 1000L), None, 0L)
-          silver.unpersist()
-          prevSlice = Some(id)
           SliceReport(id, 0L, (System.nanoTime() - t0) / 1000000L, skipped = false)
         } else {
-        // optional range layout: contiguous (dt, conv) ranges per task
-        // give ~1 sorted file per task (instead of tasks x days) and
-        // compress better — worth the extra shuffle on real object
-        // storage; skipped by default where write bandwidth dominates
-        val silverOut =
-          if (rangeLayoutWrites)
-            silver.repartitionByRange(col("dt"), col("conv_id"))
-              .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
-          else silver
-        silverOut.write.mode(SaveMode.Overwrite)
-          .partitionBy("dt", "slice_id").parquet(silverPath)
+          // --- carried per-conversation state: the delta chain of all
+          // committed slices before this one (one parquet read; the
+          // sweep resolves latest-per-conversation inline)
+          val deltas = Checkpoint.readConvStateDeltas(spark, outDir, start)
 
-        // --- gold: range features over slice + lookback context ---
-        // O(n) sliding sweep (FastWindows) — the declarative
-        // FeatureWindows.rangeFeatures is semantically identical
-        // (property-tested) but recomputes collect_set per row.
-        // The cached slice silver IS what was just written (no read-back).
-        val withContext = context.unionByName(silver.drop("slice_id"))
-        val ranged = (skewHeavyThreshold match {
-          case Some(thr) => graft.gold.FastWindows.rangeFeaturesAuto(withContext, thr)
-          case None      => graft.gold.FastWindows.rangeFeatures(withContext)
-        }).filter(col("ts") >= tsLit(withContext, start))
+          // --- skew dispatch: conversations above the threshold take
+          // the segmented (chunked-window + two-pass session) path
+          // heavy ids are the skew TAIL — tiny by construction — so one
+          // map-combined count + driver collect beats re-planning
+          // broadcast joins into all six split branches
+          val heavyIds: Seq[String] = skewHeavyThreshold match {
+            case Some(thr) =>
+              context.select(col("conv_id"))
+                .unionByName(sliceBronze.select(col("conv_id")))
+                .groupBy(col("conv_id")).count()
+                .filter(col("count") > thr).select(col("conv_id"))
+                .collect().map(_.getString(0)).toSeq
+            case None => Nil
+          }
+          val gold = (if (heavyIds.isEmpty) {
+            FusedSweep.gold(deltas, context, sliceBronze, sessionGapSecs)
+          } else {
+            val isHeavy = col("conv_id").isin(heavyIds: _*)
+            val light = FusedSweep.gold(
+              deltas.filter(!isHeavy), context.filter(!isHeavy),
+              sliceBronze.filter(!isHeavy), sessionGapSecs)
+            val heavy = heavyGold(
+              deltas.filter(isHeavy), context.filter(isHeavy),
+              sliceBronze.filter(isHeavy), start, sessionGapSecs, segmentSecs)
+            light.unionByName(heavy.select(light.columns.map(col): _*))
+          }).withColumn("slice_id", lit(id)).cache()
 
-        // --- lag/gap/session with carried per-conversation state ---
-        val state = Checkpoint.readConvState(spark, outDir, prevSlice)
-        val gold = withState(ranged, state, sessionGapSecs).cache()
+          // optional range layout: contiguous (dt, conv) ranges per task
+          // give ~1 sorted file per task (instead of tasks x days) and
+          // compress better — worth the extra shuffle on real object
+          // storage; skipped by default where write bandwidth dominates
+          def layout(df: DataFrame): DataFrame =
+            if (rangeLayoutWrites)
+              df.repartitionByRange(col("dt"), col("conv_id"))
+                .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
+            else df
 
-        val goldOut =
-          if (rangeLayoutWrites)
-            gold.withColumn("slice_id", lit(id))
-              .repartitionByRange(col("dt"), col("conv_id"))
-              .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
-          else gold.withColumn("slice_id", lit(id))
-        goldOut.write.mode(SaveMode.Overwrite)
-          .partitionBy("dt", "slice_id").parquet(goldPath)
+          // silver is a projection of the same fused rows — no second
+          // compute, no read-back
+          layout(gold.select((silverCols :+ "slice_id").map(col): _*))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("dt", "slice_id").parquet(silverPath)
+          layout(gold).write.mode(SaveMode.Overwrite)
+            .partitionBy("dt", "slice_id").parquet(goldPath)
 
-        if (failAfterGoldWriteOfSlice.contains(id))
-          throw new RuntimeException(s"injected failure after gold write of $id (test hook)")
+          if (failAfterGoldWriteOfSlice.contains(id))
+            throw new RuntimeException(s"injected failure after gold write of $id (test hook)")
 
-        // --- state for the next slice (from the cached gold just written) ---
-        Checkpoint.writeConvState(outDir, id, nextState(gold, state))
+          // --- state DELTA for later slices (only touched conversations) ---
+          Checkpoint.writeConvStateDelta(outDir, start, stateDelta(gold))
 
-        // --- lineage, then the committing watermark row (atomic last) ---
-        val wallMs = (System.nanoTime() - t0) / 1000000L
-        val (rows, hw) = Checkpoint.appendLineage(outDir, gold, id, wallMs)
-        Checkpoint.commitSlice(spark, outDir, id,
-          new Timestamp(start * 1000L), new Timestamp(end * 1000L), hw, rows)
-        gold.unpersist()
-        silver.unpersist()
-        prevSlice = Some(id)
-        SliceReport(id, rows, wallMs, skipped = false)
+          // --- lineage, then the committing watermark row (atomic last) ---
+          val wallMs = (System.nanoTime() - t0) / 1000000L
+          val (rows, hw) = Checkpoint.appendLineage(outDir, gold, id, wallMs)
+          Checkpoint.commitSlice(spark, outDir, id,
+            new Timestamp(start * 1000L), new Timestamp(end * 1000L), hw, rows)
+          gold.unpersist()
+          if (compactStateEvery > 0 && (i + 1) % compactStateEvery == 0)
+            Checkpoint.compactConvState(spark, outDir, start)
+          SliceReport(id, rows, wallMs, skipped = false)
         }
       }
     }
     reports
   }
+
+  /** Heavy-conversation slice path: dedup by (conv, turn) key (a plain
+    * map-side-combinable aggregate — massively parallel, no
+    * per-conversation window), EXACT chunked range features
+    * ([[graft.skew.ChunkedWindows]]), and the two-pass segmented
+    * lag/gap/session ([[graft.skew.SegmentedSessions]]). No stage in
+    * this path serializes a whole conversation on one task.
+    */
+  private[graft] def heavyGold(
+      deltas: DataFrame,
+      context: DataFrame,
+      sliceBronze: DataFrame,
+      start: Long,
+      gapSecs: Long,
+      segmentSecs: Long): DataFrame = {
+    import graft.gold.FusedSweep
+    // committed context rows take precedence (_k = 1 < 2), then the
+    // SilverBuilder winner order — identical to the fused sweep's
+    val both = FusedSweep.contextRows(context.drop("dt"))
+      .unionByName(FusedSweep.bronzeRows(sliceBronze))
+    val silverH = both
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(min_by(
+        struct(col("role"), col("text"), col("tool"), col("ts"), col("_k")),
+        struct(col("_k"), col("ts"), col("role"), coalesce(col("tool"), lit("")), col("text"))).as("_w"))
+      .select(col("conv_id"), col("turn_idx"), col("_w.role").as("role"),
+        col("_w.text").as("text"), col("_w.tool").as("tool"), col("_w.ts").as("ts"),
+        col("_w._k").as("_k"))
+      .filter(col("_k") === 2).drop("_k")
+
+    val withContext = context.drop("dt")
+      .select(silverH.columns.map(col): _*)
+      .unionByName(silverH)
+    // O(n) segment-salted sweep (FastWindows), NOT the declarative
+    // ChunkedWindows twin — WindowExec rebuilds collect_set per row of
+    // a sliding range frame, O(rows x frame), unrunnable on a
+    // mega-conversation (the two are property-tested equal)
+    val ranged = graft.gold.FastWindows
+      .rangeFeaturesChunked(withContext, segmentSecs)
+      .filter(col("ts") >= tsLit(withContext, start))
+      .withColumn("dt", to_date(col("ts")))
+
+    val state = Checkpoint.latestConvState(deltas)
+      .select(col("conv_id"), col("st_last_ts"), col("st_last_role"), col("st_sessions"))
+    graft.skew.SegmentedSessions.withStateSegmented(ranged, state, gapSecs, segmentSecs)
+  }
+
+  /** Per-conversation state delta of a processed slice: latest
+    * (ts, turn_idx, role) and the running session count.
+    */
+  private[graft] def stateDelta(goldSlice: DataFrame): DataFrame =
+    goldSlice.groupBy(col("conv_id")).agg(
+      max_by(col("ts"), struct(col("ts"), col("turn_idx"))).as("st_last_ts"),
+      max_by(col("turn_idx"), struct(col("ts"), col("turn_idx"))).as("st_last_turn_idx"),
+      max_by(col("role"), struct(col("ts"), col("turn_idx"))).as("st_last_role"),
+      max(col("session_id")).as("st_sessions"))
 
   /** Lookback context: the `[start - MaxLookback, start)` tail of the
     * already-written silver table. The filter combines dt partition
@@ -213,16 +279,4 @@ object Backfill {
       .drop("st_last_ts", "st_last_turn_idx", "st_last_role", "st_sessions")
   }
 
-  /** Fold a processed slice into the carried state: latest
-    * (ts, turn_idx, role, session count) per conversation, keeping
-    * state for conversations silent this slice.
-    */
-  private[graft] def nextState(goldSlice: DataFrame, prevState: DataFrame): DataFrame = {
-    val latest = goldSlice.groupBy(col("conv_id")).agg(
-      max_by(col("ts"), struct(col("ts"), col("turn_idx"))).as("st_last_ts"),
-      max_by(col("turn_idx"), struct(col("ts"), col("turn_idx"))).as("st_last_turn_idx"),
-      max_by(col("role"), struct(col("ts"), col("turn_idx"))).as("st_last_role"),
-      max(col("session_id")).as("st_sessions"))
-    prevState.join(latest, Seq("conv_id"), "left_anti").unionByName(latest)
-  }
 }

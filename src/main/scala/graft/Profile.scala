@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Dev profiling harness: times each phase of one backfill slice. */
+/** Dev profiling harness: times each phase of one backfill slice
+  * (fused-sweep edition) plus the standalone window variants.
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -18,22 +20,22 @@ object Profile {
     val bronze = spark.read.parquet(bronzeDir)
     import graft.silver.SilverBuilder
     val start = 1704067200L; val end = start + 8L * 86400
-    val sliceBronze = bronze.filter(unix_timestamp(col("ts")) >= start && unix_timestamp(col("ts")) < end)
-    val silver = SilverBuilder.build(sliceBronze).withColumn("slice_id", lit("s0")).cache()
-    t("silver count (dedup)")(silver.count())
-    t("silver write")(silver.write.mode("overwrite").partitionBy("dt", "slice_id").parquet(s"$work/silver"))
-    val sliceSilver = spark.read.parquet(s"$work/silver").filter(col("slice_id") === "s0").drop("slice_id")
-    val ranged = graft.gold.FastWindows.rangeFeaturesAuto(sliceSilver, 50000L)
-      .filter(unix_timestamp(col("ts")) >= start)
-    val state = graft.meta.Checkpoint.readConvState(spark, work, None)
-    val gold = Backfill.withState(ranged, state, 1800L).cache()
-    t("gold compute+write")(gold.withColumn("slice_id", lit("s0"))
+    val sliceBronze = SilverBuilder.validate(
+      bronze.filter(col("ts") >= lit(java.time.Instant.ofEpochSecond(start)) &&
+        col("ts") < lit(java.time.Instant.ofEpochSecond(end))))
+    val deltas = graft.meta.Checkpoint.readConvStateDeltas(spark, work, start)
+    val context = Backfill.contextRead(spark, s"$work/silver", "s0", start)
+    val gold = graft.gold.FusedSweep.gold(deltas, context, sliceBronze).cache()
+    t("fused sweep (count)")(gold.count())
+    val silverCols = graft.schema.TranscriptSchema.silver.fieldNames.toSeq
+    t("silver write")(gold.select(silverCols.map(col): _*).withColumn("slice_id", lit("s0"))
+      .write.mode("overwrite").partitionBy("dt", "slice_id").parquet(s"$work/silver"))
+    t("gold write")(gold.withColumn("slice_id", lit("s0"))
       .write.mode("overwrite").partitionBy("dt", "slice_id").parquet(s"$work/gold"))
-    t("state")(graft.meta.Checkpoint.writeConvState(work, "s0", Backfill.nextState(gold, state)))
+    t("state delta")(graft.meta.Checkpoint.writeConvStateDelta(work, start, Backfill.stateDelta(gold)))
     t("lineage")(graft.meta.Checkpoint.appendLineage(work, gold, "s0", 1000L))
-    t("gold count")(gold.count())
-    // variants to localize FastWindows cost
-    val s2 = sliceSilver.cache(); s2.count()
+    // variants to localize window cost
+    val s2 = SilverBuilder.build(sliceBronze).cache(); s2.count()
     t("fastwindows only (count)")(graft.gold.FastWindows.rangeFeatures(s2).count())
     t("declarative windows (count)")(graft.gold.FeatureWindows.rangeFeatures(s2).count())
     t("fast auto (count)")(graft.gold.FastWindows.rangeFeaturesAuto(s2, 50000L).count())

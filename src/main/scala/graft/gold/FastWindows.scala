@@ -31,6 +31,58 @@ import org.apache.spark.sql.types._
   * ([[ChunkedWindows]]-style segmenting, `extraPartCols`) bounds it
   * for pathological single-conversation densities.
   */
+// One ring buffer per frame — primitive arrays, zero per-row
+// allocation on the add/evict path (the sweep is the engine's
+// hottest loop; boxed deques double its memory-bandwidth cost).
+// Shared by the standalone FastWindows sweep and the fused backfill
+// sweep ([[FusedSweep]]).
+private[gold] final class FrameQ(val spanSecs: Long) {
+  private var cap = 1024
+  private var ts = new Array[Long](cap)
+  private var len = new Array[Long](cap)
+  private var tool = new Array[String](cap)
+  private var head = 0 // index of oldest
+  private var size = 0
+  var sumLen = 0L
+  var toolCalls = 0L
+  val distinct = new mutable.HashMap[String, Int]()
+  def cnt: Long = size.toLong
+  def distinctCnt: Int = distinct.size
+  private def grow(): Unit = {
+    val ncap = cap * 2
+    val (nts, nlen, ntool) = (new Array[Long](ncap), new Array[Long](ncap), new Array[String](ncap))
+    var i = 0
+    while (i < size) { val j = (head + i) % cap; nts(i) = ts(j); nlen(i) = len(j); ntool(i) = tool(j); i += 1 }
+    ts = nts; len = nlen; tool = ntool; head = 0; cap = ncap
+  }
+  def add(t: Long, l: Long, tl: String): Unit = {
+    if (size == cap) grow()
+    val tail = (head + size) % cap
+    ts(tail) = t; len(tail) = l; tool(tail) = tl
+    size += 1; sumLen += l
+    if (tl != null) {
+      toolCalls += 1
+      distinct.updateWith(tl) { case Some(c) => Some(c + 1); case None => Some(1) }
+    }
+  }
+  def evictBefore(minTs: Long): Unit = {
+    while (size > 0 && ts(head) < minTs) {
+      val l = len(head); val tl = tool(head)
+      tool(head) = null
+      head = (head + 1) % cap; size -= 1; sumLen -= l
+      if (tl != null) {
+        toolCalls -= 1
+        distinct.updateWith(tl) { case Some(1) => None; case Some(c) => Some(c - 1); case None => None }
+      }
+    }
+  }
+  def clear(): Unit = {
+    var i = 0
+    while (i < size) { tool((head + i) % cap) = null; i += 1 }
+    head = 0; size = 0; sumLen = 0L; toolCalls = 0L; distinct.clear()
+  }
+}
+
 object FastWindows {
 
   private val featureFields: Seq[StructField] = Seq(
@@ -39,50 +91,6 @@ object FastWindows {
     StructField("chars_sum_1h", LongType, nullable = false),
     StructField("tool_distinct_24h", IntegerType, nullable = false),
     StructField("avg_chars_7d", DoubleType, nullable = false))
-
-  // one ring buffer per frame — primitive arrays, zero per-row
-  // allocation on the add/evict path (the sweep is the engine's
-  // hottest loop; boxed deques double its memory-bandwidth cost)
-  private final class FrameQ(val spanSecs: Long) {
-    private var cap = 1024
-    private var ts = new Array[Long](cap)
-    private var len = new Array[Long](cap)
-    private var tool = new Array[String](cap)
-    private var head = 0 // index of oldest
-    private var size = 0
-    var sumLen = 0L
-    var toolCalls = 0L
-    val distinct = new mutable.HashMap[String, Int]()
-    def cnt: Long = size.toLong
-    private def grow(): Unit = {
-      val ncap = cap * 2
-      val (nts, nlen, ntool) = (new Array[Long](ncap), new Array[Long](ncap), new Array[String](ncap))
-      var i = 0
-      while (i < size) { val j = (head + i) % cap; nts(i) = ts(j); nlen(i) = len(j); ntool(i) = tool(j); i += 1 }
-      ts = nts; len = nlen; tool = ntool; head = 0; cap = ncap
-    }
-    def add(t: Long, l: Long, tl: String): Unit = {
-      if (size == cap) grow()
-      val tail = (head + size) % cap
-      ts(tail) = t; len(tail) = l; tool(tail) = tl
-      size += 1; sumLen += l
-      if (tl != null) {
-        toolCalls += 1
-        distinct.updateWith(tl) { case Some(c) => Some(c + 1); case None => Some(1) }
-      }
-    }
-    def evictBefore(minTs: Long): Unit = {
-      while (size > 0 && ts(head) < minTs) {
-        val l = len(head); val tl = tool(head)
-        tool(head) = null
-        head = (head + 1) % cap; size -= 1; sumLen -= l
-        if (tl != null) {
-          toolCalls -= 1
-          distinct.updateWith(tl) { case Some(1) => None; case Some(c) => Some(c - 1); case None => None }
-        }
-      }
-    }
-  }
 
   private final class SlidingState {
     val f1h = new FrameQ(3600L)

@@ -1,0 +1,311 @@
+package graft.gold
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, GraftInternalAccess}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.schema.TranscriptSchema
+
+/** The fused per-slice gold computation: ONE hash exchange on conv_id,
+  * ONE sort, ONE InternalRow sweep producing the complete gold row —
+  * dedup + cross-slice anti-join + the five trailing range features +
+  * lag/gap + sessionization with carried state.
+  *
+  * Round 1 ran these as four separate stages (dedup window, context
+  * anti-join, FastWindows repartition+sort+sweep, withState window),
+  * i.e. 4+ shuffles and as many full passes per slice; the Amdahl
+  * residue of that chain is what held N→4N scaling at 0.667
+  * (BENCH/BASELINE.md). Here everything rides one exchange:
+  *
+  *  - state deltas enter the SAME shuffle as pseudo-rows (`_k = 0`)
+  *    sorted before all data rows of their conversation — no separate
+  *    state join;
+  *  - lookback context rows (`_k = 1`) feed the sliding frames and the
+  *    lag chain but are not emitted;
+  *  - current-slice bronze rows (`_k = 2`) are deduplicated by
+  *    adjacency (sort prefix is (conv_id, turn_idx); the winner order
+  *    (_k, ts, role, tool, text) reproduces SilverBuilder.dedup with
+  *    committed context rows taking precedence), then emitted with all
+  *    gold columns.
+  *
+  * PRECONDITION (transcript contract): within a conversation, ts is
+  * non-decreasing in turn_idx for the rows that survive dedup — true
+  * of transcripts by construction (turn order IS time order). The
+  * sweep validates this and throws if violated, in which case the
+  * declarative path (SilverBuilder + FeatureWindows) applies.
+  *
+  * Semantics are bit-identical to the declarative pipeline
+  * (FusedSweepSpec property-tests equality including injected
+  * anomalies, ts ties and session boundaries; BackfillSpec asserts
+  * sliced == single-shot).
+  */
+object FusedSweep {
+
+  /** Input schema of the unioned sweep rows (column order is binding
+    * for the InternalRow field indexes below).
+    */
+  private[graft] def inputColumns(df: DataFrame): Seq[Column] = Seq(
+    col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
+    col("_k"), col("_seq"), col("_sessions"))
+
+  private val CONV = 0
+  private val TURN = 1
+  private val ROLE = 2
+  private val TEXT = 3
+  private val TOOL = 4
+  private val TS = 5
+  private val K = 6
+  private val SEQ = 7
+  private val SESSIONS = 8
+
+  /** State pseudo-rows from the delta chain (slice_start becomes the
+    * `_seq` tiebreaker: the latest delta per conversation wins).
+    */
+  private[graft] def stateRows(deltas: DataFrame): DataFrame =
+    deltas.select(
+      col("conv_id"),
+      col("st_last_turn_idx").as("turn_idx"),
+      col("st_last_role").as("role"),
+      lit(null).cast("string").as("text"),
+      lit(null).cast("string").as("tool"),
+      col("st_last_ts").as("ts"),
+      lit(0).as("_k"),
+      col("slice_start").cast("long").as("_seq"),
+      col("st_sessions").as("_sessions"))
+
+  private[graft] def contextRows(context: DataFrame): DataFrame =
+    context.select(
+      col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
+      lit(1).as("_k"), lit(0L).as("_seq"), lit(null).cast("int").as("_sessions"))
+
+  private[graft] def bronzeRows(bronze: DataFrame): DataFrame =
+    bronze.select(
+      col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
+      lit(2).as("_k"), lit(0L).as("_seq"), lit(null).cast("int").as("_sessions"))
+
+  /** Gold output schema: silver columns + dt + the eight feature
+    * columns, preserving the input's timestamp flavor (ntz/tz).
+    */
+  private def goldSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("conv_id", StringType, nullable = true),
+    StructField("turn_idx", IntegerType, nullable = true),
+    StructField("role", StringType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("tool", StringType, nullable = true),
+    StructField("ts", tsType, nullable = true),
+    StructField("dt", DateType, nullable = true)) ++
+    TranscriptSchema.goldFeatures.map(_.copy(nullable = true)))
+
+  /** Run the fused sweep. `state` rows carry (conv_id, st_last_ts,
+    * st_last_turn_idx, st_last_role, st_sessions, slice_start);
+    * `context` is prior-slice silver inside the lookback; `bronze` is
+    * the validated current slice. Emits gold rows for the slice only.
+    */
+  def gold(
+      state: DataFrame,
+      context: DataFrame,
+      bronze: DataFrame,
+      gapSecs: Long = TranscriptSchema.DefaultSessionGapSecs): DataFrame = {
+    val spark = bronze.sparkSession
+    val unioned = stateRows(state)
+      .unionByName(contextRows(context))
+      .unionByName(bronzeRows(bronze))
+
+    val sorted = unioned
+      .repartition(col("conv_id"))
+      .sortWithinPartitions(
+        col("conv_id"),
+        when(col("_k") === 0, lit(Int.MinValue)).otherwise(col("turn_idx")),
+        col("_k"), col("_seq"),
+        col("ts"), col("role"), coalesce(col("tool"), lit("")), col("text"))
+      .select(inputColumns(null): _*)
+
+    val tsType = bronze.schema("ts").dataType
+    val outSchema = goldSchema(tsType)
+    val gap = gapSecs
+
+    val rdd = GraftInternalAccess.toInternalRdd(sorted.toDF())
+      .mapPartitions(it => new SweepIterator(it, gap))
+    GraftInternalAccess.internalCreateDataFrame(spark, rdd, outSchema)
+  }
+
+  /** One buffered emit-eligible row of the current ts-second tie group:
+    * the copied UnsafeRow plus its already-resolved lag/session values
+    * (lag is row-order semantics, frames are group semantics).
+    */
+  private final class Pending(
+      val row: InternalRow,
+      val gapSecs: Long, val hasGap: Boolean,
+      val prevRole: UTF8String,
+      val sessionId: Int)
+
+  /** The sweep itself. Input rows are sorted by
+    * (conv, turn-with-state-first, _k, _seq, ts, role, tool, text).
+    * Per conversation it maintains the three ring-buffer frames
+    * ([[FrameQ]]), the lag chain, and the session counter; all rows of
+    * one epoch-second enter the frames before any of them is emitted
+    * (RANGE-frame tie semantics), so a tie group is buffered (copied)
+    * until its last member has been seen.
+    */
+  private final class SweepIterator(in: Iterator[InternalRow], gapSecs: Long)
+      extends Iterator[InternalRow] {
+
+    private val f1h = new FrameQ(3600L)
+    private val f24h = new FrameQ(86400L)
+    private val f7d = new FrameQ(604800L)
+
+    private var curConv: UTF8String = _
+    private var sawState = false
+    private var sessions = 0
+    private var hasPrev = false       // lag chain seeded (state/context/slice)
+    private var prevTsSec = 0L
+    private var prevRole: UTF8String = _
+    private var hasPrevData = false   // last DATA row's second (monotonicity check)
+    private var prevDataTsSec = 0L
+    private var lastTurn = 0
+    private var hasLastTurn = false
+
+    // current emit group (same conv, same epoch second, _k == 2 rows)
+    private val group = mutable.ArrayBuffer[Pending]()
+    private var groupPos = 0
+    private var groupTsSec = Long.MinValue
+    private var groupOpen = false
+
+    // single-row pushback (the row that terminated the previous group;
+    // always a private copy)
+    private var lookahead: InternalRow = _
+
+    private def resetConv(conv: UTF8String): Unit = {
+      curConv = conv
+      sawState = false
+      sessions = 0
+      hasPrev = false
+      prevRole = null
+      hasPrevData = false
+      hasLastTurn = false
+      groupTsSec = Long.MinValue
+      groupOpen = false
+      f1h.clear(); f24h.clear(); f7d.clear()
+    }
+
+    private def tsSecOf(r: InternalRow): Long = Math.floorDiv(r.getLong(TS), 1000000L)
+
+    private def nextRow(): InternalRow =
+      if (lookahead != null) { val t = lookahead; lookahead = null; t }
+      else if (in.hasNext) in.next()
+      else null
+
+    /** Process one data row (k == 1 context or k == 2 slice): frames,
+      * lag chain, session counter, group buffering.
+      */
+    private def processData(r: InternalRow, k: Int): Unit = {
+      val t = tsSecOf(r)
+      if (hasPrevData && t < prevDataTsSec)
+        throw new IllegalStateException(
+          "fused sweep precondition violated: ts decreases within conversation " +
+            s"$curConv at turn ${r.getInt(TURN)} ($t < $prevDataTsSec); " +
+            "use the declarative SilverBuilder/FeatureWindows path")
+      if (t != groupTsSec) {
+        groupTsSec = t
+        f1h.evictBefore(t - f1h.spanSecs)
+        f24h.evictBefore(t - f24h.spanSecs)
+        f7d.evictBefore(t - f7d.spanSecs)
+      }
+      val textLen = if (r.isNullAt(TEXT)) 0L else r.getUTF8String(TEXT).numChars().toLong
+      val tool = if (r.isNullAt(TOOL)) null else r.getUTF8String(TOOL).toString
+      f1h.add(t, textLen, tool); f24h.add(t, textLen, tool); f7d.add(t, textLen, tool)
+
+      val g = if (hasPrev) t - prevTsSec else -1L
+      val isBreak = !hasPrev || g > gapSecs
+      if (k == 2) {
+        if (isBreak) sessions += 1
+        group += new Pending(r.copy(), g, hasPrev, prevRole, sessions)
+        groupOpen = true
+      } else if (!sawState && isBreak) {
+        // no carried state = full history present (single-shot use):
+        // context rows count their own session breaks so slice rows
+        // continue the correct numbering
+        sessions += 1
+      }
+      prevTsSec = t
+      prevRole = r.getUTF8String(ROLE).copy()
+      hasPrev = true
+      prevDataTsSec = t
+      hasPrevData = true
+    }
+
+    /** Fill `group` with the next emit group. A group is complete when
+      * a row of a different conversation or a later second appears (it
+      * is pushed back), or at EOF. Returns false only at EOF with
+      * nothing to emit.
+      */
+    private def loadGroup(): Boolean = {
+      group.clear(); groupPos = 0; groupOpen = false
+      var r = nextRow()
+      while (r != null) {
+        val conv = r.getUTF8String(CONV)
+        val newConv = curConv == null || !conv.equals(curConv)
+        if (newConv && groupOpen) { lookahead = r.copy(); return true }
+        if (newConv) resetConv(conv.copy())
+        val k = r.getInt(K)
+        if (k == 0) {
+          // state pseudo-row: seed lag chain + session counter (latest
+          // delta wins — rows arrive in slice_start order)
+          sessions = if (r.isNullAt(SESSIONS)) 0 else r.getInt(SESSIONS)
+          prevTsSec = tsSecOf(r)
+          prevRole = r.getUTF8String(ROLE).copy()
+          hasPrev = true
+          sawState = true
+        } else {
+          val turn = r.getInt(TURN)
+          if (hasLastTurn && turn == lastTurn) {
+            // duplicate of an already-accepted (conv, turn): dropped —
+            // sort order makes the SilverBuilder winner arrive first
+          } else {
+            val t = tsSecOf(r)
+            if (groupOpen && t != groupTsSec) { lookahead = r.copy(); return true }
+            lastTurn = turn; hasLastTurn = true
+            processData(r, k)
+          }
+        }
+        r = nextRow()
+      }
+      groupOpen
+    }
+
+    override def hasNext: Boolean = groupPos < group.length || loadGroup()
+
+    override def next(): InternalRow = {
+      if (groupPos >= group.length && !loadGroup())
+        throw new NoSuchElementException("empty sweep iterator")
+      val p = group(groupPos); groupPos += 1
+      emit(p)
+    }
+
+    private def emit(p: Pending): InternalRow = {
+      val r = p.row
+      val out = new Array[Any](15)
+      out(0) = r.getUTF8String(CONV)
+      out(1) = r.getInt(TURN)
+      out(2) = r.getUTF8String(ROLE)
+      out(3) = if (r.isNullAt(TEXT)) null else r.getUTF8String(TEXT)
+      out(4) = if (r.isNullAt(TOOL)) null else r.getUTF8String(TOOL)
+      out(5) = r.getLong(TS)
+      out(6) = Math.floorDiv(r.getLong(TS), 86400000000L).toInt
+      out(7) = f1h.cnt
+      out(8) = f1h.toolCalls
+      out(9) = f1h.sumLen
+      out(10) = f24h.distinctCnt
+      out(11) = f7d.sumLen.toDouble / f7d.cnt
+      out(12) = p.prevRole
+      out(13) = if (p.hasGap) p.gapSecs else null
+      out(14) = p.sessionId
+      new GenericInternalRow(out)
+    }
+  }
+}

@@ -23,7 +23,11 @@ object Checkpoint {
 
   private def wmPath(outDir: String) = s"$outDir/_meta/watermarks"
   private def linPath(outDir: String) = s"$outDir/_meta/lineage"
-  private def statePath(outDir: String, sliceId: String) = s"$outDir/_meta/conv_state/slice_id=$sliceId"
+  private def stateDir(outDir: String) = s"$outDir/_meta/conv_state"
+  private def stateDeltaPath(outDir: String, sliceStartSec: Long) =
+    s"${stateDir(outDir)}/slice_start=$sliceStartSec"
+  private def snapDir(outDir: String) = s"$outDir/_meta/conv_state_snapshot"
+  private def snapPath(outDir: String, uptoSec: Long) = s"${snapDir(outDir)}/upto=$uptoSec"
 
   val watermarkSchema: StructType = StructType(Seq(
     StructField("slice_id", StringType, nullable = false),
@@ -105,18 +109,81 @@ object Checkpoint {
   def readWatermarks(spark: SparkSession, outDir: String): DataFrame =
     readOrEmpty(spark, wmPath(outDir), watermarkSchema)
 
-  /** Conversation state as of the END of `sliceId` (last ts/turn/role +
-    * session count per conv) — the cross-slice carry that makes
-    * lag/gap/sessionization exact without re-reading full history.
+  /** INCREMENTAL conversation state (round-1 verdict #5b: the full
+    * per-slice state rewrite was O(#conversations) per slice —
+    * quadratic over a long backfill). Each slice appends only a DELTA
+    * — the conversations it actually touched — under
+    * `_meta/conv_state/slice_start=<sec>`; readers take, per
+    * conversation, the row from the highest slice_start. Periodic
+    * COMPACTION ([[compactConvState]]) collapses the chain into a
+    * snapshot so the read stays O(active conversations), not O(slices).
+    *
+    * Write is an idempotent per-slice-dir overwrite: a crashed slice
+    * that re-runs replaces its own delta exactly (same resume contract
+    * as the data partitions).
     */
-  def writeConvState(outDir: String, sliceId: String, state: DataFrame): Unit =
-    state.write.mode(SaveMode.Overwrite).parquet(statePath(outDir, sliceId))
+  def writeConvStateDelta(outDir: String, sliceStartSec: Long, delta: DataFrame): Unit =
+    delta.write.mode(SaveMode.Overwrite).parquet(stateDeltaPath(outDir, sliceStartSec))
 
-  def readConvState(spark: SparkSession, outDir: String, sliceId: Option[String]): DataFrame =
-    sliceId match {
-      case Some(id) if exists(spark, statePath(outDir, id)) =>
-        spark.read.schema(convStateSchema).parquet(statePath(outDir, id))
-      case _ =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], convStateSchema)
+  /** The delta chain strictly before `uptoExclusiveSec`, rebased on the
+    * newest complete snapshot: rows (convStateSchema + slice_start),
+    * possibly several per conversation — consumers keep the highest
+    * slice_start (the fused sweep does this inline during its one
+    * sort; small consumers use [[latestConvState]]).
+    */
+  def readConvStateDeltas(spark: SparkSession, outDir: String, uptoExclusiveSec: Long): DataFrame = {
+    val snap = latestSnapshotSec(spark, outDir, uptoExclusiveSec)
+    val deltas =
+      if (exists(spark, stateDir(outDir)))
+        spark.read.parquet(stateDir(outDir))
+          .filter(col("slice_start") < uptoExclusiveSec &&
+            snap.map(s => col("slice_start") > s).getOrElse(lit(true)))
+          .select(convStateSchema.fieldNames.map(col) :+ col("slice_start").cast("long"): _*)
+      else emptyDeltas(spark)
+    snap match {
+      case Some(s) =>
+        spark.read.parquet(snapPath(outDir, s))
+          .select(convStateSchema.fieldNames.map(col) :+ lit(s).as("slice_start"): _*)
+          .unionByName(deltas)
+      case None => deltas
     }
+  }
+
+  private def emptyDeltas(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(convStateSchema.fields :+ StructField("slice_start", LongType, nullable = false)))
+
+  /** Latest state per conversation from a delta-chain read. */
+  def latestConvState(deltas: DataFrame): DataFrame = {
+    val cols = convStateSchema.fieldNames.filterNot(_ == "conv_id")
+    deltas.groupBy(col("conv_id"))
+      .agg(max_by(struct(cols.map(col): _*), col("slice_start")).as("_s"))
+      .select(col("conv_id") +: cols.map(c => col(s"_s.$c")): _*)
+  }
+
+  /** Collapse the chain at `uptoInclusiveSec` into a snapshot. Only
+    * called AFTER the covering slice committed; an interrupted write
+    * leaves no _SUCCESS marker and is ignored by readers.
+    */
+  def compactConvState(spark: SparkSession, outDir: String, uptoInclusiveSec: Long): Unit = {
+    val chain = readConvStateDeltas(spark, outDir, uptoInclusiveSec + 1)
+    latestConvState(chain).write.mode(SaveMode.Overwrite)
+      .parquet(snapPath(outDir, uptoInclusiveSec))
+  }
+
+  /** Newest COMPLETE (_SUCCESS-marked) snapshot strictly below
+    * `uptoExclusiveSec`.
+    */
+  private def latestSnapshotSec(
+      spark: SparkSession, outDir: String, uptoExclusiveSec: Long): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(snapDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("upto="))
+      .map(p => (p.getName.stripPrefix("upto=").toLong, p))
+      .filter { case (s, p) => s < uptoExclusiveSec && fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .map(_._1).maxOption
+  }
 }

@@ -1,0 +1,30 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.ClassicConversions._
+import org.apache.spark.sql.types.StructType
+
+/** Bridge into `SparkSession.internalCreateDataFrame` (private[sql]):
+  * lets the fused backfill sweep run at the InternalRow layer —
+  * UnsafeRow in, GenericInternalRow out — skipping the external
+  * Row/encoder round-trip that round-1 profiling showed on the hottest
+  * loop. This is the standard extension-point technique for libraries
+  * that add physical operators on top of Spark (same access level a
+  * custom SparkPlan would have); no Spark internals are modified.
+  */
+object GraftInternalAccess {
+
+  /** Wrap an RDD[InternalRow] (already in the given schema's field
+    * order and physical types) as a DataFrame without re-encoding.
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.internalCreateDataFrame(rdd, schema)
+
+  /** The analyzed plan's InternalRow RDD (post-shuffle, post-sort). */
+  def toInternalRdd(df: DataFrame): RDD[InternalRow] =
+    df.queryExecution.toRdd
+}

@@ -68,6 +68,30 @@ class BackfillSpec extends AnyFunSuite {
     assertSame(spark.read.parquet(s"$dir/gold"), singleShot)
   }
 
+  test("skew dispatch + state compaction: sliced == single-shot with a planted mega-conversation") {
+    val megaBronze = TranscriptGen.transcripts(
+      spark, nConvs = 20, avgTurns = 15, megaConvs = 2, megaTurns = 2000,
+      injectAnomalies = true).cache()
+    val oracle = FeatureWindows.gold(SilverBuilder.build(megaBronze))
+    val dir = Files.createTempDirectory("bf_skew").toString
+    // threshold 300 forces both mega-conversations onto the segmented
+    // heavy path; compact every 2 slices exercises snapshot + delta reads
+    Backfill.run(spark, megaBronze, dir, start, sliceSecs, nSlices,
+      skewHeavyThreshold = Some(300L), compactStateEvery = 2, segmentSecs = 2L * 86400)
+    assertSame(spark.read.parquet(s"$dir/gold"), oracle)
+    // resume after a kill must read state through the snapshot + deltas
+    val dir2 = Files.createTempDirectory("bf_skew_resume").toString
+    val failAt = Backfill.sliceId(start + 3 * sliceSecs)
+    intercept[RuntimeException] {
+      Backfill.run(spark, megaBronze, dir2, start, sliceSecs, nSlices,
+        skewHeavyThreshold = Some(300L), compactStateEvery = 2,
+        segmentSecs = 2L * 86400, failAfterGoldWriteOfSlice = Some(failAt))
+    }
+    Backfill.run(spark, megaBronze, dir2, start, sliceSecs, nSlices,
+      skewHeavyThreshold = Some(300L), compactStateEvery = 2, segmentSecs = 2L * 86400)
+    assertSame(spark.read.parquet(s"$dir2/gold"), oracle)
+  }
+
   test("lineage: per-(slice, dt) rows with counts, hashes, throughput; watermarks committed") {
     val dir = Files.createTempDirectory("bf_lineage").toString
     Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
