@@ -82,7 +82,11 @@ object TranscriptGen {
     val wordArr = array(words.map(lit): _*)
 
     val base = withTs.select(
-      concat(lit("conv_"), lpad(col("conv_idx").cast("string"), 7, "0")).as("conv_id"),
+      // width 9: lpad TRUNCATES inputs longer than the pad width, so a
+      // 7-wide pad silently merged distinct conversations once
+      // conv_idx passed 9,999,999 (20M-conv bench inputs) — ts
+      // inversions inside the merged id corrupted turn ordering
+      concat(lit("conv_"), lpad(col("conv_idx").cast("string"), 9, "0")).as("conv_id"),
       col("turn_idx").cast("int").as("turn_idx"),
       when(roleH <= 3, "user").when(roleH <= 7, "assistant").otherwise("tool").as("role"),
       concat_ws(" ",

@@ -66,9 +66,28 @@ object StreamingGold {
         col("session_window.end").as("session_end"),
         col("conv_id"), col("n_turns"), col("first_turn"), col("last_turn"))
 
+  /** The DURABLE production sink: append-mode parquet with a streaming
+    * checkpoint — the pure-Spark stand-in for the reference's
+    * Firehose→S3 delivery (kinesis_firehose/main.tf:109-113). Restart
+    * with the same checkpointLocation resumes exactly where the last
+    * run stopped: already-committed source files are not reprocessed
+    * and finalized windows are emitted exactly once
+    * (StreamingGoldSpec kill/restart test). Synchronous: drains all
+    * currently-available input (Trigger.AvailableNow) then returns.
+    */
+  def runToParquet(df: DataFrame, outPath: String, checkpointPath: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming DF into an in-memory table and return the result
-    * (synchronous; for tests/smoke — production would use a parquet
-    * sink + checkpointLocation).
+    * (synchronous; for tests/smoke — production uses [[runToParquet]]).
     */
   def runToMemory(df: DataFrame, name: String): DataFrame = {
     val q = df.writeStream

@@ -89,8 +89,8 @@ class FusedSweepSpec extends AnyFunSuite {
     val silver = SilverBuilder.build(mega)
     val ranged = FeatureWindows.rangeFeatures(silver)
     val state = Seq(
-      ("conv_0000000", java.sql.Timestamp.valueOf("2023-12-31 23:59:00"), 7, "assistant", 3),
-      ("conv_0000001", java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 2, "user", 1)
+      ("conv_000000000", java.sql.Timestamp.valueOf("2023-12-31 23:59:00"), 7, "assistant", 3),
+      ("conv_000000001", java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 2, "user", 1)
     ).toDF("conv_id", "st_last_ts", "st_last_turn_idx", "st_last_role", "st_sessions")
     val plain = Backfill.withState(ranged, state, 1800L)
     val segmented = SegmentedSessions.withStateSegmented(

@@ -25,6 +25,17 @@ class TranscriptGenSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("conv ids stay distinct past the 8-digit index boundary (lpad truncation regression)") {
+    // lpad truncates inputs wider than the pad width; with the old
+    // 7-wide pad, conv_idx 10,000,000+ collided with earlier ids and
+    // merged conversations (ts inversions inside one conv_id)
+    val ids = spark.range(9999998L, 10000002L).toDF("conv_idx")
+      .select(concat(lit("conv_"), lpad(col("conv_idx").cast("string"), 9, "0")).as("conv_id"))
+    assert(ids.distinct().count() == 4)
+    val t = TranscriptGen.transcripts(spark, nConvs = 12, avgTurns = 3)
+    assert(t.select(length(col("conv_id"))).distinct().count() == 1)
+  }
+
   test("mega conversations and session breaks are planted") {
     val t = TranscriptGen.transcripts(spark, nConvs = 10, avgTurns = 10, megaConvs = 1, megaTurns = 300)
     val sizes = t.groupBy("conv_id").count()
