@@ -41,6 +41,20 @@ object Backfill {
 
   def sliceId(startSec: Long): String = s"s$startSec"
 
+  /** Opt-in per-phase wall logging (SPARK_GRAFT_PHASE_LOG=1): prints
+    * `[phase] <slice> <name> <secs>` for bench forensics; zero cost
+    * when unset.
+    */
+  private val phaseLog = sys.env.get("SPARK_GRAFT_PHASE_LOG").contains("1")
+  @inline private def phase[A](id: String, name: String)(f: => A): A =
+    if (!phaseLog) f
+    else {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[phase] $id $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+
   /** Timestamp literal of `sec` matching the column's own type (ntz or
     * tz — the generator writes tz, driver parquet reads back ntz).
     * Comparing `ts` against a folded literal — instead of wrapping the
@@ -80,7 +94,6 @@ object Backfill {
       compactStateEvery: Int = 16,
       segmentSecs: Long = 604800L): Seq[SliceReport] = {
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val committed = Checkpoint.committedSlices(spark, outDir)
     val silverPath = s"$outDir/silver"
     val goldPath = s"$outDir/gold"
@@ -99,13 +112,13 @@ object Backfill {
         // cross-slice dedup horizon: a (conv_id, turn_idx) re-sent in a
         // later slice within maxLookback is dropped; beyond that
         // horizon it is past the watermark, like any late-data policy)
-        val context = contextRead(spark, silverPath, id, start)
+        val context = contextRead(spark, silverPath, id, start, sliceSecs)
 
         // --- the current slice, half-open [start, end), validated ---
         val sliceBronze = SilverBuilder.validate(bronze.filter(
           bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end)))
 
-        if (sliceBronze.isEmpty) {
+        if (phase(id, "isEmpty check")(sliceBronze.isEmpty)) {
           // empty slice: zero-row watermark; the delta chain simply has
           // no entry for this slice
           Checkpoint.commitSlice(spark, outDir, id,
@@ -115,20 +128,24 @@ object Backfill {
           // --- carried per-conversation state: the delta chain of all
           // committed slices before this one (one parquet read; the
           // sweep resolves latest-per-conversation inline)
-          val deltas = Checkpoint.readConvStateDeltas(spark, outDir, start)
+          val deltas = phase(id, "delta chain read")(Checkpoint.readConvStateDeltas(spark, outDir, start))
 
           // --- skew dispatch: conversations above the threshold take
-          // the segmented (chunked-window + two-pass session) path
-          // heavy ids are the skew TAIL — tiny by construction — so one
+          // the segmented (chunked-window + two-pass session) path.
+          // Heavy ids are the skew TAIL — tiny by construction — so one
           // map-combined count + driver collect beats re-planning
-          // broadcast joins into all six split branches
+          // broadcast joins into all six split branches. A conversation
+          // is heavy if THIS slice brings > thr turns, or if its
+          // carried state already shows > thr turns total (turn_idx is
+          // the per-conversation ordinal) — no context rescan needed.
           val heavyIds: Seq[String] = skewHeavyThreshold match {
-            case Some(thr) =>
-              context.select(col("conv_id"))
-                .unionByName(sliceBronze.select(col("conv_id")))
-                .groupBy(col("conv_id")).count()
+            case Some(thr) => phase(id, "heavy ids")(
+              sliceBronze.groupBy(col("conv_id")).count()
                 .filter(col("count") > thr).select(col("conv_id"))
-                .collect().map(_.getString(0)).toSeq
+                .unionByName(
+                  deltas.filter(col("st_last_turn_idx") + 1 > thr).select(col("conv_id")))
+                .distinct()
+                .collect().map(_.getString(0)).toSeq)
             case None => Nil
           }
           val gold = (if (heavyIds.isEmpty) {
@@ -142,7 +159,7 @@ object Backfill {
               deltas.filter(isHeavy), context.filter(isHeavy),
               sliceBronze.filter(isHeavy), start, sessionGapSecs, segmentSecs)
             light.unionByName(heavy.select(light.columns.map(col): _*))
-          }).withColumn("slice_id", lit(id)).cache()
+          }).withColumn("slice_id", lit(id))
 
           // optional range layout: contiguous (dt, conv) ranges per task
           // give ~1 sorted file per task (instead of tasks x days) and
@@ -154,26 +171,52 @@ object Backfill {
                 .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
             else df
 
-          // silver is a projection of the same fused rows — no second
-          // compute, no read-back
-          layout(gold.select((silverCols :+ "slice_id").map(col): _*))
-            .write.mode(SaveMode.Overwrite)
-            .partitionBy("dt", "slice_id").parquet(silverPath)
-          layout(gold).write.mode(SaveMode.Overwrite)
-            .partitionBy("dt", "slice_id").parquet(goldPath)
+          // ONE compute pass lands gold; silver (a column projection),
+          // the state delta and lineage all derive from the WRITTEN
+          // gold files — compressed, column-pruned, partition-pruned
+          // reads instead of a full-width in-memory cache. Round-2
+          // profiling showed the cache write + spill + four full-width
+          // cache reads were pure DRAM-bandwidth burn (the non-scaling
+          // resource on one host; on a real cluster, executor-local IO).
+          //
+          // Each slice writes into its OWN static `slice_id=` directory
+          // with a plain overwrite: same idempotent-replace semantics
+          // as dynamic partition overwrite, but without the staging
+          // protocol whose driver-side file moves grow with task count
+          // (round-2 probe: the write stage scaled at 0.43 under
+          // dynamic mode — commit renames are serial on the driver and
+          // 4N cores produce 4x the files). Default layout is FLAT
+          // inside the slice dir (dt stays a data column): probe showed
+          // partitionBy(dt) costs a hidden full-width per-task sort +
+          // multi-writer overhead that does not scale. Time pruning
+          // happens at slice granularity (slices ARE time ranges);
+          // `rangeLayoutWrites` produces the query-optimized daily
+          // layout (dt dirs + (dt, conv) clustering) when the table is
+          // served to downstream readers.
+          def writeSlice(df: DataFrame, base: String): Unit =
+            if (rangeLayoutWrites)
+              layout(df).write.mode(SaveMode.Overwrite)
+                .partitionBy("dt").parquet(s"$base/slice_id=$id")
+            else
+              df.write.mode(SaveMode.Overwrite).parquet(s"$base/slice_id=$id")
+
+          phase(id, "gold compute+write")(writeSlice(gold.drop("slice_id"), goldPath))
 
           if (failAfterGoldWriteOfSlice.contains(id))
             throw new RuntimeException(s"injected failure after gold write of $id (test hook)")
 
+          val goldWritten = spark.read.parquet(goldPath)
+            .filter(col("slice_id") === id)
+          phase(id, "silver write")(writeSlice(goldWritten.select(silverCols.map(col): _*), silverPath))
+
           // --- state DELTA for later slices (only touched conversations) ---
-          Checkpoint.writeConvStateDelta(outDir, start, stateDelta(gold))
+          phase(id, "state delta")(Checkpoint.writeConvStateDelta(outDir, start, stateDelta(goldWritten)))
 
           // --- lineage, then the committing watermark row (atomic last) ---
           val wallMs = (System.nanoTime() - t0) / 1000000L
-          val (rows, hw) = Checkpoint.appendLineage(outDir, gold, id, wallMs)
+          val (rows, hw) = phase(id, "lineage")(Checkpoint.appendLineage(outDir, goldWritten, id, wallMs))
           Checkpoint.commitSlice(spark, outDir, id,
             new Timestamp(start * 1000L), new Timestamp(end * 1000L), hw, rows)
-          gold.unpersist()
           if (compactStateEvery > 0 && (i + 1) % compactStateEvery == 0)
             Checkpoint.compactConvState(spark, outDir, start)
           SliceReport(id, rows, wallMs, skipped = false)
@@ -240,19 +283,24 @@ object Backfill {
       max(col("session_id")).as("st_sessions"))
 
   /** Lookback context: the `[start - MaxLookback, start)` tail of the
-    * already-written silver table. The filter combines dt partition
-    * predicates (a superset of the ts range — dt is the UTC date of
-    * ts) with ts-literal bounds, so the read prunes to ~8 daily
-    * partitions AND pushes the row filter into the parquet scan
-    * (PruningSpec asserts both), instead of round 1's
-    * unix_timestamp(ts)-wrapped full scan.
+    * already-written silver table. Slices are time ranges by
+    * construction (`slice_id = s<startSec>`), so the read PRUNES at
+    * the slice_id partition level to the <= ceil(lookback/sliceSecs)+1
+    * directories that can overlap the window (PruningSpec asserts the
+    * plan), plus pushable ts literals and a dt row predicate — instead
+    * of round 1's unix_timestamp(ts)-wrapped full table scan. Over an
+    * S-slice backfill this keeps total context IO O(S * lookback), not
+    * O(S^2).
     */
   private[graft] def contextRead(
-      spark: SparkSession, silverPath: String, id: String, start: Long): DataFrame =
+      spark: SparkSession, silverPath: String, id: String, start: Long,
+      sliceSecs: Long): DataFrame =
     if (Checkpoint.pathExists(spark, silverPath)) {
       val silverAll = spark.read.parquet(silverPath)
+      val sliceStart = substring(col("slice_id"), 2, 18).cast("long")
       silverAll
         .filter(col("slice_id") =!= id &&
+          sliceStart > start - MaxLookbackSecs - sliceSecs && sliceStart < start &&
           col("dt") >= dtLit(start - MaxLookbackSecs) && col("dt") <= dtLit(start) &&
           silverAll("ts") >= tsLit(silverAll, start - MaxLookbackSecs) &&
           silverAll("ts") < tsLit(silverAll, start))

@@ -46,6 +46,15 @@ object Bench {
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // measured on this host: zstd (vs default lz4/snappy) costs ~10%
+    // wall at both core counts with tmpfs-backed storage — bytes are
+    // already DRAM here, so extra CPU buys nothing. On real
+    // object-storage deployments zstd is the right default; keep the
+    // bench on the stock codecs.
+    //
+    // commit algorithm v2: task-side renames — the v1 driver-side
+    // commit is serial in the file count, which grows with cores
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     // bench tables are small-but-representative; shrink the split size
     // so scans parallelize across all cores (at real scale the default
     // 128 MB splits give the same effect for free)
@@ -65,11 +74,17 @@ object Bench {
     * turns). Generation cost is excluded from the measured backfill.
     */
   def writeBronze(spark: SparkSession, dir: String, nConvs: Long): Long = {
+    // 2M-turn planted megas: big enough that the segmented skew path
+    // does real parallel work (a 100k-turn mega sat at the dispatch
+    // threshold and its chunked machinery was pure fixed overhead)
     val bronze = TranscriptGen.transcripts(spark, nConvs,
-      avgTurns = 30, megaConvs = 2, megaTurns = 100000)
-    // enough splittable files that every parallelism level can scan
-    // with full width (a real bronze layer is thousands of files)
-    bronze.repartition(64).write.mode("overwrite").parquet(dir)
+      avgTurns = 30, megaConvs = 2, megaTurns = 2000000)
+    // time-ranged files, like a real landed bronze layer (Firehose/
+    // object-store ingest delivers by arrival time ~ event time): tight
+    // per-file ts ranges let every slice scan skip ~3/4 of the table
+    // via row-group stats instead of decoding all timestamps each slice
+    bronze.repartitionByRange(64, col("ts"))
+      .write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir).count()
   }
 
@@ -79,7 +94,11 @@ object Bench {
   def runBackfill(spark: SparkSession, bronzeDir: String, outDir: String): Seq[Backfill.SliceReport] =
     Backfill.run(spark, spark.read.parquet(bronzeDir), outDir,
       firstStartSec = 1704067200L, sliceSecs = 10L * 86400, nSlices = 4,
-      skewHeavyThreshold = Some(50000L))
+      skewHeavyThreshold = Some(50000L),
+      // 3.5-day segments: a 2M-turn mega runs ~6 parallel tasks per
+      // slice in the chunked sweep/session stages (7d segments gave 2)
+      // at a bounded 3x replication of heavy rows
+      segmentSecs = 302400L)
 
   /** As-of benchmark: one query per 10th turn at ts+60s vs the full
     * gold history.

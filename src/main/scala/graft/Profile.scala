@@ -24,16 +24,16 @@ object Profile {
       bronze.filter(col("ts") >= lit(java.time.Instant.ofEpochSecond(start)) &&
         col("ts") < lit(java.time.Instant.ofEpochSecond(end))))
     val deltas = graft.meta.Checkpoint.readConvStateDeltas(spark, work, start)
-    val context = Backfill.contextRead(spark, s"$work/silver", "s0", start)
-    val gold = graft.gold.FusedSweep.gold(deltas, context, sliceBronze).cache()
-    t("fused sweep (count)")(gold.count())
+    val context = Backfill.contextRead(spark, s"$work/silver", "s0", start, 8L * 86400)
+    val gold = graft.gold.FusedSweep.gold(deltas, context, sliceBronze)
+    t("gold compute+write")(gold.write.mode("overwrite")
+      .parquet(s"$work/gold/slice_id=s0"))
+    val goldWritten = spark.read.parquet(s"$work/gold").filter(col("slice_id") === "s0")
     val silverCols = graft.schema.TranscriptSchema.silver.fieldNames.toSeq
-    t("silver write")(gold.select(silverCols.map(col): _*).withColumn("slice_id", lit("s0"))
-      .write.mode("overwrite").partitionBy("dt", "slice_id").parquet(s"$work/silver"))
-    t("gold write")(gold.withColumn("slice_id", lit("s0"))
-      .write.mode("overwrite").partitionBy("dt", "slice_id").parquet(s"$work/gold"))
-    t("state delta")(graft.meta.Checkpoint.writeConvStateDelta(work, start, Backfill.stateDelta(gold)))
-    t("lineage")(graft.meta.Checkpoint.appendLineage(work, gold, "s0", 1000L))
+    t("silver write (read-back)")(goldWritten.select(silverCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$work/silver/slice_id=s0"))
+    t("state delta")(graft.meta.Checkpoint.writeConvStateDelta(work, start, Backfill.stateDelta(goldWritten)))
+    t("lineage")(graft.meta.Checkpoint.appendLineage(work, goldWritten, "s0", 1000L))
     // variants to localize window cost
     val s2 = SilverBuilder.build(sliceBronze).cache(); s2.count()
     t("fastwindows only (count)")(graft.gold.FastWindows.rangeFeatures(s2).count())

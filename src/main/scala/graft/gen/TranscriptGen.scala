@@ -63,6 +63,12 @@ object TranscriptGen {
     // tick fast with rare breaks so even 10^5-turn conversations stay
     // inside a ~month of event time.
     val gap = when(col("turn_idx") === 0, lit(0L))
+      .when(col("n_turns") > 100000,
+        // dense agent loop (sub-3s ticks, rare session breaks): a
+        // multi-million-turn conversation must FIT inside a ~month of
+        // event time to actually stress the skew path at bench scale
+        when(pmod(h, lit(8192)) === 0, lit(1801L) + pmod(h, lit(1800L)))
+          .otherwise(pmod(h, lit(3L))))
       .when(col("n_turns") > 5000,
         when(pmod(h, lit(512)) === 0, lit(1801L) + pmod(h, lit(1800L)))
           .otherwise(lit(1L) + pmod(h, lit(30L))))
@@ -105,8 +111,11 @@ object TranscriptGen {
       val dupes = base.filter(pmod(xxhash64(col("conv_id"), col("turn_idx"), lit("dup")), lit(11)) === 0)
         .withColumn("text", concat(col("text"), lit(" duplicated-later-variant")))
         .withColumn("ts", timestamp_seconds(unix_timestamp(col("ts")) + 1))
+      // index-modulus (not id-hash) so small test corpora are
+      // guaranteed to contain null-conv anomalies deterministically
       val nulls = base
-        .filter(col("turn_idx") === 0 && pmod(xxhash64(col("conv_id")), lit(97)) === 0)
+        .filter(col("turn_idx") === 0 &&
+          pmod(substring(col("conv_id"), 6, 18).cast("long"), lit(29)) === 7)
         .withColumn("conv_id", lit(null).cast("string"))
       base.unionByName(dupes).unionByName(nulls)
     }

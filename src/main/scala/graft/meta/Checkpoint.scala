@@ -55,14 +55,52 @@ object Checkpoint {
     if (exists(spark, path)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Control-plane rows (watermarks, lineage) are DRIVER-WRITTEN JSONL
+    * — one small file per slice. They are a handful of rows each; a
+    * Spark write job per slice is ~0.5 s of pure scheduling (a
+    * non-scaling cost at every cluster size), where a driver file
+    * write is ~1 ms. Crash semantics are unchanged: each slice owns
+    * its file, a partially-written file fails JSON parsing and reads
+    * as uncommitted (the watermark write is the LAST act of a slice).
+    * This mirrors Iceberg, whose snapshot metadata is also
+    * driver-written JSON/Avro, not a table write.
+    */
+  private def writeDriverFile(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def jsonStr(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case t: java.sql.Timestamp =>
+      jsonStr(TsFmt.format(t.toInstant)) // fixed-width micros, see TsFmt
+    case other => other.toString
+  }
+
+  /** Fixed-width ISO-8601 with exactly 6 fraction digits — one
+    * deterministic wire format for both writer and reader.
+    */
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSX")
+    .withZone(java.time.ZoneOffset.UTC)
+  private val TsReadFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"
+
   /** Slice ids whose watermark row reached `committed`. */
   def committedSlices(spark: SparkSession, outDir: String): Set[String] =
-    readOrEmpty(spark, wmPath(outDir), watermarkSchema)
+    readWatermarks(spark, outDir)
       .filter(col("status") === "committed")
       .select("slice_id").distinct()
       .collect().map(_.getString(0)).toSet
 
-  /** Append the committed watermark row — the LAST write of a slice. */
+  /** Write the committed watermark row — the LAST act of a slice. */
   def commitSlice(
       spark: SparkSession,
       outDir: String,
@@ -71,43 +109,71 @@ object Checkpoint {
       sliceEnd: java.sql.Timestamp,
       highWatermark: Option[java.sql.Timestamp],
       rowCount: Long): Unit = {
-    import spark.implicits._
-    Seq((sliceId, sliceStart, sliceEnd, highWatermark.orNull, rowCount, "committed"))
-      .toDF("slice_id", "slice_start", "slice_end", "high_watermark_ts", "row_count", "status")
-      .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(wmPath(outDir))
+    val line = Seq(
+      "slice_id" -> sliceId, "slice_start" -> sliceStart, "slice_end" -> sliceEnd,
+      "high_watermark_ts" -> highWatermark.orNull, "row_count" -> rowCount,
+      "status" -> "committed")
+      .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+      .mkString("{", ", ", "}\n")
+    writeDriverFile(spark, s"${wmPath(outDir)}/$sliceId.json", line)
   }
 
   /** Per-(slice, dt-partition) row counts, content hashes and
     * throughput — the "per-partition lineage + metrics" the north rule
     * asks for. Content hash is order-insensitive and ANSI-overflow-safe
-    * (sum of 31-bit xxhash64 residues).
+    * (sum of 31-bit xxhash64 residues). ONE aggregate job computes the
+    * per-dt stats; the rows land driver-side (tiny) and are written as
+    * this slice's lineage JSONL file.
     */
   def appendLineage(outDir: String, gold: DataFrame, sliceId: String, wallMs: Long)
       : (Long, Option[java.sql.Timestamp]) = {
-    val cols = gold.columns.map(col).toSeq
+    // the hash covers identity + feature columns; text is excluded so
+    // the lineage scan never decodes the dominant column (text LENGTHS
+    // are transitively pinned by the chars_sum/avg_chars features in
+    // the hash; text integrity end-to-end by the per-turn
+    // text-equality fixtures and parquet page checksums)
+    val cols = gold.columns.toSeq.filterNot(_ == "text").map(col)
     val stats = gold.groupBy(col("dt"))
       .agg(count(lit(1)).as("row_count"),
         sum(pmod(xxhash64(cols: _*), lit(2147483647L))).as("content_hash"),
         max(col("ts")).as("hw_ts"))
-      .withColumn("slice_id", lit(sliceId))
-      .withColumn("wall_ms", lit(wallMs))
-      .withColumn("rows_per_sec",
-        round(col("row_count") * 1000.0 / greatest(lit(wallMs), lit(1L)), 2))
-      .cache()
-    stats.select("slice_id", "dt", "row_count", "content_hash", "wall_ms", "rows_per_sec")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(linPath(outDir))
-    // slice totals in one pass over the (tiny, cached) stats
-    val tot = stats.agg(coalesce(sum("row_count"), lit(0L)), max("hw_ts")).collect()(0)
-    stats.unpersist()
-    (tot.getLong(0), Option(tot.getTimestamp(1)))
+      .collect()
+    val lines = stats.map { r =>
+      val rows = r.getLong(1)
+      Seq(
+        "slice_id" -> sliceId, "dt" -> r.getDate(0).toString,
+        "row_count" -> rows, "content_hash" -> r.getLong(2),
+        "wall_ms" -> wallMs,
+        "rows_per_sec" -> (math.round(rows * 100000.0 / math.max(wallMs, 1L)) / 100.0))
+        .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+        .mkString("{", ", ", "}")
+    }.mkString("", "\n", "\n")
+    writeDriverFile(gold.sparkSession, s"${linPath(outDir)}/$sliceId.json", lines)
+    val total = stats.map(_.getLong(1)).sum
+    val hw = stats.flatMap(r => Option(r.getAs[Any]("hw_ts"))).map {
+      case t: java.sql.Timestamp => t
+      case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l)
+    }.sortBy(_.getTime).lastOption
+    (total, hw)
   }
 
+  private val lineageSchema: StructType = StructType(Seq(
+    StructField("slice_id", StringType), StructField("dt", DateType),
+    StructField("row_count", LongType), StructField("content_hash", LongType),
+    StructField("wall_ms", LongType), StructField("rows_per_sec", DoubleType)))
+
   def readLineage(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(linPath(outDir))
+    spark.read.schema(lineageSchema)
+      .option("mode", "DROPMALFORMED").json(linPath(outDir))
 
   def readWatermarks(spark: SparkSession, outDir: String): DataFrame =
-    readOrEmpty(spark, wmPath(outDir), watermarkSchema)
+    if (exists(spark, wmPath(outDir)))
+      spark.read.schema(watermarkSchema)
+        .option("mode", "DROPMALFORMED")
+        .option("timestampFormat", TsReadFmt)
+        .json(wmPath(outDir))
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], watermarkSchema)
 
   /** INCREMENTAL conversation state (round-1 verdict #5b: the full
     * per-slice state rewrite was O(#conversations) per slice —

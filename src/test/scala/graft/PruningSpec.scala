@@ -45,23 +45,30 @@ class PruningSpec extends AnyFunSuite {
       s"expected pushed filters:\n$scan")
   }
 
-  test("backfill lookback context read prunes dt partitions and pushes ts filters") {
-    // silver laid out like the backfill writes it: partitioned (dt, slice_id)
+  test("backfill lookback context read prunes slice partitions and pushes ts filters") {
+    // silver laid out like the backfill writes it: one flat dir per slice
     val dir = Files.createTempDirectory("prune_ctx").toString
-    SilverBuilder.build(TranscriptGen.transcripts(spark, nConvs = 20, avgTurns = 15))
-      .withColumn("slice_id", lit("s1704067200"))
-      .write.partitionBy("dt", "slice_id").parquet(s"$dir/silver")
-    val ctx = Backfill.contextRead(spark, s"$dir/silver", "s1704931200", 1704931200L)
+    val silver = SilverBuilder.build(TranscriptGen.transcripts(spark, nConvs = 20, avgTurns = 15))
+    // two committed slices: one inside the 7d lookback of the probe
+    // start, one far before it (must be pruned at the directory level)
+    silver.write.parquet(s"$dir/silver/slice_id=s1704240000")
+    silver.write.parquet(s"$dir/silver/slice_id=s1640995200")
+    val start = 1704931200L
+    val ctx = Backfill.contextRead(spark, s"$dir/silver", "s1704931200", start, 691200L)
     val scan = ctx.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("(dt"),
-      s"expected dt PartitionFilters in the context read:\n$scan")
+    assert(scan.contains("PartitionFilters") && scan.contains("slice_id"),
+      s"expected slice_id PartitionFilters in the context read:\n$scan")
     val pushed = scan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
     assert(pushed.contains("ts"), s"expected ts in PushedFilters:\n$scan")
+    // directory-level pruning: the far-away slice contributes no files
+    val files = ctx.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.forall(_.contains("slice_id=s1704240000")),
+      s"stale slice dir not pruned: ${files.mkString(", ")}")
     // and the semantics: exactly the [start-7d, start) half-open window
     val bounds = ctx.agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
     if (!bounds.isNullAt(0)) {
-      assert(bounds.getLong(0) >= 1704931200L - 604800L)
-      assert(bounds.getLong(1) < 1704931200L)
+      assert(bounds.getLong(0) >= start - 604800L)
+      assert(bounds.getLong(1) < start)
     }
   }
 
