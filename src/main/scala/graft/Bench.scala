@@ -120,12 +120,29 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    // registered operator queries on the driver's tables
+    // Untimed warmup pass at the smallest sf: JIT + codegen compilation
+    // are one-time JVM costs that otherwise land entirely on whichever
+    // query runs first (q10 measured ~2 s steady-state but ~9 s as the
+    // session's first job). ScalingBench already excludes warmup from
+    // its backfill timings; this applies the same protocol per query
+    // shape. Caches are cleared so no warmup data feeds a timed run.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir != "none") {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+    }
+
+    // registered operator queries on the driver's tables; caches are
+    // cleared between queries so ops that persist intermediates
+    // (dedup shingle sets) can't subsidize a later query's number
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (_, secs) = time {
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
       }
+      spark.catalog.clearCache()
       results(name) = secs
     }
 

