@@ -59,8 +59,11 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val q = withVecNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("_q0")),
       "_q0", "_qv", "_qn").drop("_q0")
+    // spread the streamed corpus over all cores: a small corpus file
+    // scans as one partition, which would serialize |Q| x |C| scoring
     val c = withVecNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_c0")),
       "_c0", "_cv", "_cn").drop("_c0")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(pairCos(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6))
@@ -81,6 +84,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val a = withVecNorm(embeddings.select(col(idCol).as("id_a"), col(vecCol).as("_a0")),
       "_a0", "_va", "_na").drop("_a0")
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     val b = withVecNorm(embeddings.select(col(idCol).as("id_b"), col(vecCol).as("_b0")),
       "_b0", "_vb", "_nb").drop("_b0")
     a.crossJoin(broadcast(b))
@@ -117,25 +121,57 @@ object Similarity {
     * inherently all-pairs — no LSH family prunes reliably there; for
     * dup-detection thresholds (>= ~0.8) prefer [[lshTopK]]-style
     * bucketing. Output is bit-identical to [[nearDupPairs]].
+    *
+    * `blocks = 0` (default) auto-tunes from the session's default
+    * parallelism: B ~ sqrt(2 * cores) makes B(B+1)/2 ~ cores scoring
+    * tasks at the minimum ~B/2 replication that still keeps every
+    * core busy. Larger inputs warrant more blocks (per-task pair
+    * count is (n/B)^2); callers with a known row count can pass it.
     */
   def nearDupPairsBlocked(
       embeddings: DataFrame,
       threshold: Double,
-      blocks: Int = 16,
+      blocks: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val b =
+      if (blocks > 0) blocks
+      else math.max(2, math.ceil(math.sqrt(
+        2.0 * embeddings.sparkSession.sparkContext.defaultParallelism)).toInt)
+    nearDupPairsBlockedAt(embeddings, threshold, b, idCol, vecCol)
+  }
+
+  private def nearDupPairsBlockedAt(
+      embeddings: DataFrame,
+      threshold: Double,
+      blocks: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val base = withVecNorm(
       embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v0")), "_v0", "_v", "_n")
       .drop("_v0")
       .withColumn("_blk", pmod(xxhash64(col("_id")), lit(blocks)).cast("int"))
+    // The pair EXPLOSION happens inside the scoring join, invisible to
+    // AQE: the join's shuffle inputs are only n*B/2 vector rows, so
+    // adaptive coalescing would funnel all B(B+1)/2 scoring tasks into
+    // one or two post-shuffle partitions and serialize the O(n^2)
+    // cosine work (measured: 14 s -> 1 s at 2k vectors x 32 cores).
+    // An explicit numbered repartition by the task key pins the
+    // partitioning — AQE does not coalesce user-specified repartitions
+    // — and both sides arriving HashPartitioning(_task, N) means the
+    // join itself adds no further shuffle. 2x oversubscription spreads
+    // hash-collided task keys.
+    val numParts = blocks * (blocks + 1)
     val left = base
       .withColumn("_task", explode(transform(
         sequence(col("_blk"), lit(blocks - 1)), j => col("_blk") * blocks + j)))
       .select(col("_task"), col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
+      .repartition(numParts, col("_task"))
     val right = base
       .withColumn("_task", explode(transform(
         sequence(lit(0), col("_blk")), i => i * blocks + col("_blk"))))
       .select(col("_task"), col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
+      .repartition(numParts, col("_task"))
     // off-diagonal task (i, j), i < j: blocks are disjoint, every
     // unordered pair appears exactly once (its block-i member only on
     // the left) — keep all, normalize id order afterwards. Diagonal
@@ -184,7 +220,11 @@ object Similarity {
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
 
     val qb = withBuckets(queries, "query_id", "_qv")
-    val cb = withBuckets(corpus, "neighbor_id", "_cv")
+    // corpus-side bucket keys cost tables*bits projections per vector;
+    // spread them — a single-file corpus otherwise scans as one task
+    val cb = withBuckets(
+      corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+      "neighbor_id", "_cv")
     val candidates = qb.join(cb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("_qv"), col("neighbor_id"), col("_cv"))
