@@ -99,6 +99,21 @@ object Backfill {
     val goldPath = s"$outDir/gold"
     val silverCols = TranscriptSchema.silver.fieldNames.toSeq
 
+    // Resuming/extending with a different slice width would silently
+    // mis-prune the lookback reads (slice dirs are time ranges of the
+    // width they were WRITTEN with) — fail loudly instead.
+    Checkpoint.readWatermarks(spark, outDir)
+      .filter(col("status") === "committed")
+      .select(unix_timestamp(col("slice_start")).as("s"), unix_timestamp(col("slice_end")).as("e"))
+      .collect()
+      .find(r => r.getLong(1) - r.getLong(0) != sliceSecs)
+      .foreach { r =>
+        throw new IllegalArgumentException(
+          s"committed slice width ${r.getLong(1) - r.getLong(0)}s does not match " +
+            s"sliceSecs=${sliceSecs}s; slice-granular pruning assumes uniform widths — " +
+            "resume this table with its original slice width")
+      }
+
     val reports = (0 until nSlices).map { i =>
       val start = firstStartSec + i * sliceSecs
       val end = start + sliceSecs
@@ -108,12 +123,6 @@ object Backfill {
       if (committed.contains(id)) {
         SliceReport(id, 0L, 0L, skipped = true)
       } else {
-        // --- lookback context from already-written silver (also the
-        // cross-slice dedup horizon: a (conv_id, turn_idx) re-sent in a
-        // later slice within maxLookback is dropped; beyond that
-        // horizon it is past the watermark, like any late-data policy)
-        val context = contextRead(spark, silverPath, id, start, sliceSecs)
-
         // --- the current slice, half-open [start, end), validated ---
         val sliceBronze = SilverBuilder.validate(bronze.filter(
           bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end)))
@@ -148,18 +157,48 @@ object Backfill {
                 .collect().map(_.getString(0)).toSeq)
             case None => Nil
           }
-          val gold = (if (heavyIds.isEmpty) {
-            FusedSweep.gold(deltas, context, sliceBronze, sessionGapSecs)
-          } else {
-            val isHeavy = col("conv_id").isin(heavyIds: _*)
-            val light = FusedSweep.gold(
-              deltas.filter(!isHeavy), context.filter(!isHeavy),
-              sliceBronze.filter(!isHeavy), sessionGapSecs)
-            val heavy = heavyGold(
-              deltas.filter(isHeavy), context.filter(isHeavy),
-              sliceBronze.filter(isHeavy), start, sessionGapSecs, segmentSecs)
-            light.unionByName(heavy.select(light.columns.map(col): _*))
-          }).withColumn("slice_id", lit(id))
+
+          // --- lookback frame context: COMPACT tails from the
+          // checkpoint layer (one narrow array row per conv per slice
+          // per 64k turns) instead of re-scanning + re-shuffling the
+          // full-width 7-day silver tail every slice. Cross-slice dedup
+          // rides the carried st_last_turn_idx (horizon-free — strictly
+          // closer to the single-shot semantics than the round-2
+          // lookback-window dedup). Raw silver context is read ONLY for
+          // the routed (heavy / ts-inverted) conversations.
+          val tails = phase(id, "tail read")(
+            Checkpoint.readFrameTails(spark, outDir, start, sliceSecs, MaxLookbackSecs))
+
+          def buildGold(heavy: Seq[String], inverted: Seq[String]): DataFrame = {
+            val routedIds = (heavy ++ inverted).distinct
+            if (routedIds.isEmpty)
+              FusedSweep.gold(deltas, emptySilver(spark), sliceBronze, sessionGapSecs, Some(tails))
+            else {
+              val isRouted = col("conv_id").isin(routedIds: _*)
+              val context = contextRead(spark, silverPath, id, start, sliceSecs)
+                .filter(isRouted)
+              val light = FusedSweep.gold(
+                deltas.filter(!isRouted), emptySilver(spark),
+                sliceBronze.filter(!isRouted), sessionGapSecs,
+                Some(tails.filter(!isRouted)))
+              // ts-inverted conversations take the plain single-window
+              // session stage: SegmentedSessions chains per-segment
+              // summaries in turn order within TS-based segments, which
+              // an inversion crossing a segment boundary would corrupt.
+              // (Anomalies are few; heavy AND inverted prefers correct.)
+              val segIds = heavy.filterNot(inverted.contains)
+              val parts = Seq(
+                (segIds, true), (inverted, false)).filter(_._1.nonEmpty).map {
+                case (ids, segmented) =>
+                  val in = col("conv_id").isin(ids: _*)
+                  heavyGold(deltas.filter(in), context.filter(in),
+                    sliceBronze.filter(in), start, sessionGapSecs, segmentSecs,
+                    segmentedSessions = segmented)
+              }
+              parts.foldLeft(light)((acc, h) =>
+                acc.unionByName(h.select(light.columns.map(col): _*)))
+            }
+          }
 
           // optional range layout: contiguous (dt, conv) ranges per task
           // give ~1 sorted file per task (instead of tasks x days) and
@@ -200,7 +239,27 @@ object Backfill {
             else
               df.write.mode(SaveMode.Overwrite).parquet(s"$base/slice_id=$id")
 
-          phase(id, "gold compute+write")(writeSlice(gold.drop("slice_id"), goldPath))
+          // The fused sweep asserts ts non-decreasing in turn_idx per
+          // conversation (the transcript contract). Real bronze can
+          // violate it (clock skew); rather than aborting the backfill,
+          // catch the violation, detect exactly the inverted
+          // conversations, and re-run the slice with them routed to the
+          // segmented heavy path — whose frame stage sorts by ts (value
+          // -correct under any turn/ts disagreement) and whose session
+          // stage is the declarative turn-ordered window. Zero cost on
+          // the contract-clean path.
+          phase(id, "gold compute+write")(
+            try writeSlice(buildGold(heavyIds, Nil), goldPath)
+            catch {
+              case e: Throwable if isTsInversion(e) =>
+                val inverted = phase(id, "inversion detect")(
+                  detectInvertedConvs(sliceBronze))
+                if (inverted.isEmpty) throw e
+                println(s"[backfill] $id: rerouting ${inverted.size} ts-inverted " +
+                  s"conversation(s) off the fused sweep: ${inverted.take(5).mkString(", ")}" +
+                  (if (inverted.size > 5) ", ..." else ""))
+                writeSlice(buildGold(heavyIds, inverted), goldPath)
+            })
 
           if (failAfterGoldWriteOfSlice.contains(id))
             throw new RuntimeException(s"injected failure after gold write of $id (test hook)")
@@ -211,6 +270,10 @@ object Backfill {
 
           // --- state DELTA for later slices (only touched conversations) ---
           phase(id, "state delta")(Checkpoint.writeConvStateDelta(outDir, start, stateDelta(goldWritten)))
+
+          // --- compact frame-seed tails for later slices' lookback ---
+          phase(id, "frame tail")(Checkpoint.writeFrameTail(outDir, start,
+            Checkpoint.frameTailFromGold(goldWritten)))
 
           // --- lineage, then the committing watermark row (atomic last) ---
           val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -226,6 +289,38 @@ object Backfill {
     reports
   }
 
+  /** Empty DF with the silver schema (the light path's context input —
+    * frame tails replace raw context rows there).
+    */
+  private[graft] def emptySilver(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(TranscriptSchema.silver.fields))
+
+  /** True if the failure (anywhere in the cause chain) is the fused
+    * sweep's ts-monotonicity precondition.
+    */
+  private[graft] def isTsInversion(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => Option(t.getMessage).exists(_.contains("fused sweep precondition violated")))
+
+  /** Conversations whose deduped slice rows have ts DECREASING in
+    * turn_idx — the ones the fused sweep cannot stream. Only runs on
+    * the anomaly path (after a precondition failure), so its extra
+    * shuffle costs nothing in the contract-clean case. Inversions
+    * against committed history are impossible by construction: slice
+    * rows have ts >= slice start > every committed event's ts.
+    */
+  private[graft] def detectInvertedConvs(sliceBronze: DataFrame): Seq[String] = {
+    val tsSec = unix_timestamp(col("ts"))
+    SilverBuilder.dedup(sliceBronze)
+      .withColumn("_p", lag(tsSec, 1).over(
+        Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))))
+      .filter(col("_p") > tsSec)
+      .select(col("conv_id")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** Heavy-conversation slice path: dedup by (conv, turn) key (a plain
     * map-side-combinable aggregate — massively parallel, no
     * per-conversation window), EXACT chunked range features
@@ -239,12 +334,21 @@ object Backfill {
       sliceBronze: DataFrame,
       start: Long,
       gapSecs: Long,
-      segmentSecs: Long): DataFrame = {
+      segmentSecs: Long,
+      segmentedSessions: Boolean = true): DataFrame = {
     import graft.gold.FusedSweep
+    // same horizon-free re-send drop as the fused light path: a bronze
+    // turn at or below the carried last committed turn_idx is a
+    // duplicate of committed data (heavy conversations are few — the
+    // lastTurns side broadcasts)
+    val lastTurns = Checkpoint.latestConvState(deltas)
+      .select(col("conv_id"), col("st_last_turn_idx").as("_lt"))
+    val bronzeNew = sliceBronze.join(broadcast(lastTurns), Seq("conv_id"), "left")
+      .filter(col("_lt").isNull || col("turn_idx") > col("_lt")).drop("_lt")
     // committed context rows take precedence (_k = 1 < 2), then the
     // SilverBuilder winner order — identical to the fused sweep's
     val both = FusedSweep.contextRows(context.drop("dt"))
-      .unionByName(FusedSweep.bronzeRows(sliceBronze))
+      .unionByName(FusedSweep.bronzeRows(bronzeNew))
     val silverH = both
       .groupBy(col("conv_id"), col("turn_idx"))
       .agg(min_by(
@@ -269,7 +373,10 @@ object Backfill {
 
     val state = Checkpoint.latestConvState(deltas)
       .select(col("conv_id"), col("st_last_ts"), col("st_last_role"), col("st_sessions"))
-    graft.skew.SegmentedSessions.withStateSegmented(ranged, state, gapSecs, segmentSecs)
+    if (segmentedSessions)
+      graft.skew.SegmentedSessions.withStateSegmented(ranged, state, gapSecs, segmentSecs)
+    else
+      withState(ranged, state, gapSecs)
   }
 
   /** Per-conversation state delta of a processed slice: latest

@@ -51,7 +51,8 @@ object FusedSweep {
     */
   private[graft] def inputColumns(df: DataFrame): Seq[Column] = Seq(
     col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
-    col("_k"), col("_seq"), col("_sessions"))
+    col("_k"), col("_seq"), col("_sessions"),
+    col("_tail_ts"), col("_tail_len"), col("_tail_tool"))
 
   private val CONV = 0
   private val TURN = 1
@@ -62,12 +63,20 @@ object FusedSweep {
   private val K = 6
   private val SEQ = 7
   private val SESSIONS = 8
+  private val TAIL_TS = 9
+  private val TAIL_LEN = 10
+  private val TAIL_TOOL = 11
+
+  private def nullTailCols: Seq[Column] = Seq(
+    lit(null).cast("array<bigint>").as("_tail_ts"),
+    lit(null).cast("array<bigint>").as("_tail_len"),
+    lit(null).cast("array<string>").as("_tail_tool"))
 
   /** State pseudo-rows from the delta chain (slice_start becomes the
     * `_seq` tiebreaker: the latest delta per conversation wins).
     */
   private[graft] def stateRows(deltas: DataFrame): DataFrame =
-    deltas.select(
+    deltas.select(Seq(
       col("conv_id"),
       col("st_last_turn_idx").as("turn_idx"),
       col("st_last_role").as("role"),
@@ -76,17 +85,42 @@ object FusedSweep {
       col("st_last_ts").as("ts"),
       lit(0).as("_k"),
       col("slice_start").cast("long").as("_seq"),
-      col("st_sessions").as("_sessions"))
+      col("st_sessions").as("_sessions")) ++ nullTailCols: _*)
 
   private[graft] def contextRows(context: DataFrame): DataFrame =
-    context.select(
+    context.select(Seq(
       col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
-      lit(1).as("_k"), lit(0L).as("_seq"), lit(null).cast("int").as("_sessions"))
+      lit(1).as("_k"), lit(0L).as("_seq"), lit(null).cast("int").as("_sessions")) ++
+      nullTailCols: _*)
 
   private[graft] def bronzeRows(bronze: DataFrame): DataFrame =
-    bronze.select(
+    bronze.select(Seq(
       col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
-      lit(2).as("_k"), lit(0L).as("_seq"), lit(null).cast("int").as("_sessions"))
+      lit(2).as("_k"), lit(0L).as("_seq"), lit(null).cast("int").as("_sessions")) ++
+      nullTailCols: _*)
+
+  /** Frame-tail pseudo-rows ([[graft.meta.Checkpoint.frameTailFromGold]]):
+    * per (conv, chunk), the committed lookback events pre-aggregated
+    * into ts-sorted (epoch_sec, text_len, tool) arrays. They seed the
+    * sliding frames ONLY — the lag chain and session counter come from
+    * the state rows, which always accompany them (every committed
+    * slice that touched a conversation wrote its delta). `turn_idx`
+    * carries the chunk index for deterministic intra-slice ordering.
+    */
+  private[graft] def tailRows(tails: DataFrame, tsType: DataType): DataFrame =
+    tails.select(
+      col("conv_id"),
+      col("chunk").as("turn_idx"),
+      lit(null).cast("string").as("role"),
+      lit(null).cast("string").as("text"),
+      lit(null).cast("string").as("tool"),
+      timestamp_seconds(element_at(col("tail_ts"), 1)).cast(tsType).as("ts"),
+      lit(1).as("_k"),
+      col("slice_start").cast("long").as("_seq"),
+      lit(null).cast("int").as("_sessions"),
+      col("tail_ts").as("_tail_ts"),
+      col("tail_len").as("_tail_len"),
+      col("tail_tool").as("_tail_tool"))
 
   /** Gold output schema: silver columns + dt + the eight feature
     * columns, preserving the input's timestamp flavor (ntz/tz).
@@ -110,22 +144,32 @@ object FusedSweep {
       state: DataFrame,
       context: DataFrame,
       bronze: DataFrame,
-      gapSecs: Long = TranscriptSchema.DefaultSessionGapSecs): DataFrame = {
+      gapSecs: Long = TranscriptSchema.DefaultSessionGapSecs,
+      tails: Option[DataFrame] = None): DataFrame = {
     val spark = bronze.sparkSession
+    val tsType = bronze.schema("ts").dataType
     val unioned = stateRows(state)
       .unionByName(contextRows(context))
       .unionByName(bronzeRows(bronze))
+      .unionByName(tails.map(t => tailRows(t, tsType))
+        .getOrElse(contextRows(context).filter(lit(false))))
 
+    val isTail = col("_k") === 1 && col("_tail_ts").isNotNull
     val sorted = unioned
       .repartition(col("conv_id"))
       .sortWithinPartitions(
         col("conv_id"),
-        when(col("_k") === 0, lit(Int.MinValue)).otherwise(col("turn_idx")),
+        // state first, then tail pseudo-rows, then data rows by turn
+        when(col("_k") === 0, lit(Int.MinValue))
+          .when(isTail, lit(Int.MinValue + 1))
+          .otherwise(col("turn_idx")),
         col("_k"), col("_seq"),
+        // tail chunks of one slice stay in turn order (chunk index
+        // rides the turn_idx field); 0 for every other row kind
+        when(isTail, col("turn_idx")).otherwise(lit(0)),
         col("ts"), col("role"), coalesce(col("tool"), lit("")), col("text"))
       .select(inputColumns(null): _*)
 
-    val tsType = bronze.schema("ts").dataType
     val outSchema = goldSchema(tsType)
     val gap = gapSecs
 
@@ -169,6 +213,13 @@ object FusedSweep {
     private var prevDataTsSec = 0L
     private var lastTurn = 0
     private var hasLastTurn = false
+    // highest committed turn_idx from the state rows: the cross-slice
+    // dedup horizon. Committed slices hold a turn-prefix (ts is
+    // non-decreasing in turn and slices partition by ts), so a bronze
+    // row with turn_idx <= stateTurn is a re-send of committed data —
+    // dropped without needing the committed rows themselves in the
+    // lookback (this is what lets frame tails replace raw context).
+    private var stateTurn = Int.MinValue
 
     // current emit group (same conv, same epoch second, _k == 2 rows)
     private val group = mutable.ArrayBuffer[Pending]()
@@ -188,6 +239,7 @@ object FusedSweep {
       prevRole = null
       hasPrevData = false
       hasLastTurn = false
+      stateTurn = Int.MinValue
       groupTsSec = Long.MinValue
       groupOpen = false
       f1h.clear(); f24h.clear(); f7d.clear()
@@ -239,6 +291,37 @@ object FusedSweep {
       hasPrevData = true
     }
 
+    /** Feed one frame-tail pseudo-row: every (ts, len, tool) entry
+      * enters the sliding frames in ts order. The lag chain and the
+      * session counter are NOT touched — the state rows carry them
+      * (st_last_ts/role/sessions equal the last committed event's, so
+      * the values the old raw-context path would have left behind).
+      */
+    private def processTail(r: InternalRow): Unit = {
+      if (!sawState)
+        throw new IllegalStateException(
+          "fused sweep: frame-tail context without carried state for conversation " +
+            s"$curConv — tails seed frames only; pass the state delta chain")
+      val tsArr = r.getArray(TAIL_TS)
+      val lenArr = r.getArray(TAIL_LEN)
+      val toolArr = r.getArray(TAIL_TOOL)
+      var i = 0
+      val n = tsArr.numElements()
+      while (i < n) {
+        val t = tsArr.getLong(i)
+        if (hasPrevData && t < prevDataTsSec)
+          throw new IllegalStateException(
+            "fused sweep precondition violated: ts decreases within conversation " +
+              s"$curConv in frame-tail context ($t < $prevDataTsSec)")
+        val tl = if (toolArr.isNullAt(i)) null else toolArr.getUTF8String(i).toString
+        val l = lenArr.getLong(i)
+        f1h.add(t, l, tl); f24h.add(t, l, tl); f7d.add(t, l, tl)
+        prevDataTsSec = t
+        hasPrevData = true
+        i += 1
+      }
+    }
+
     /** Fill `group` with the next emit group. A group is complete when
       * a row of a different conversation or a later second appears (it
       * is pushed back), or at EOF. Returns false only at EOF with
@@ -261,9 +344,16 @@ object FusedSweep {
           prevRole = r.getUTF8String(ROLE).copy()
           hasPrev = true
           sawState = true
+          if (r.getInt(TURN) > stateTurn) stateTurn = r.getInt(TURN)
+        } else if (k == 1 && !r.isNullAt(TAIL_TS)) {
+          processTail(r)
         } else {
           val turn = r.getInt(TURN)
-          if (hasLastTurn && turn == lastTurn) {
+          if (k == 2 && turn <= stateTurn) {
+            // re-send of a committed turn (possibly beyond the frame
+            // lookback): dropped — the committed row already emitted
+            // in its own slice, exactly the single-shot winner
+          } else if (hasLastTurn && turn == lastTurn) {
             // duplicate of an already-accepted (conv, turn): dropped —
             // sort order makes the SilverBuilder winner arrive first
           } else {

@@ -219,6 +219,74 @@ object Checkpoint {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(convStateSchema.fields :+ StructField("slice_start", LongType, nullable = false)))
 
+  private def frameTailDir(outDir: String) = s"$outDir/_meta/frame_tail"
+  private def frameTailPath(outDir: String, sliceStartSec: Long) =
+    s"${frameTailDir(outDir)}/slice_start=$sliceStartSec"
+
+  val frameTailSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType, nullable = false),
+    StructField("chunk", IntegerType, nullable = false),
+    StructField("tail_ts", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("tail_len", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("tail_tool", ArrayType(StringType, containsNull = true), nullable = false)))
+
+  /** COMPACT frame-seed context for the fused sweep (north rule:
+    * "streams sorted data files to avoid full shuffles"). The sliding
+    * frames (1h/24h counts+sums, 24h distinct tools, 7d avg) need only
+    * (epoch_sec, text_length, tool) per committed event — not the
+    * full-width silver row, and crucially not the text column that
+    * dominates silver bytes. Each slice therefore writes, per touched
+    * conversation, its events pre-aggregated into ts-sorted arrays;
+    * the NEXT slices seed their frames from these rows instead of
+    * re-scanning + re-shuffling + re-sorting the 7-day silver lookback
+    * (the round-2 context path): per-slice context volume drops from
+    * O(turns in lookback) full-width rows to O(conversations touched)
+    * narrow array rows riding the same single exchange as the state
+    * pseudo-rows. Rows are chunked at `chunkTurns` events so a
+    * pathological conversation never materializes an unbounded array
+    * (mega-conversations are dispatched to the heavy path anyway,
+    * which reads raw silver for its handful of ids).
+    */
+  def frameTailFromGold(gold: DataFrame, chunkTurns: Int = 65536): DataFrame =
+    gold
+      .select(col("conv_id"),
+        floor(col("turn_idx") / chunkTurns).cast("int").as("chunk"),
+        struct(
+          unix_timestamp(col("ts")).as("t"),
+          col("turn_idx").as("tn"),
+          length(col("text")).cast("long").as("len"),
+          col("tool").as("tool")).as("_e"))
+      .groupBy(col("conv_id"), col("chunk"))
+      .agg(sort_array(collect_list(col("_e"))).as("_ents"))
+      .select(col("conv_id"), col("chunk"),
+        transform(col("_ents"), e => e.getField("t")).as("tail_ts"),
+        transform(col("_ents"), e => e.getField("len")).as("tail_len"),
+        transform(col("_ents"), e => e.getField("tool")).as("tail_tool"))
+
+  /** Idempotent per-slice overwrite, same resume contract as the data
+    * partitions and the state deltas.
+    */
+  def writeFrameTail(outDir: String, sliceStartSec: Long, tail: DataFrame): Unit =
+    tail.write.mode(SaveMode.Overwrite).parquet(frameTailPath(outDir, sliceStartSec))
+
+  /** Frame tails overlapping the lookback window [startSec - lookback,
+    * startSec): directory-level pruning via the slice_start partition
+    * column, plus a row filter dropping chunks whose last event already
+    * falls out of the widest frame.
+    */
+  def readFrameTails(
+      spark: SparkSession, outDir: String, startSec: Long, sliceSecs: Long,
+      lookbackSecs: Long): DataFrame =
+    if (exists(spark, frameTailDir(outDir)))
+      spark.read.parquet(frameTailDir(outDir))
+        .filter(col("slice_start") > startSec - lookbackSecs - sliceSecs &&
+          col("slice_start") < startSec &&
+          element_at(col("tail_ts"), -1) >= startSec - lookbackSecs)
+        .select(frameTailSchema.fieldNames.map(col) :+ col("slice_start").cast("long"): _*)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(frameTailSchema.fields :+ StructField("slice_start", LongType, nullable = false)))
+
   /** Latest state per conversation from a delta-chain read. */
   def latestConvState(deltas: DataFrame): DataFrame = {
     val cols = convStateSchema.fieldNames.filterNot(_ == "conv_id")
