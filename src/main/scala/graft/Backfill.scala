@@ -373,10 +373,12 @@ object Backfill {
 
     val state = Checkpoint.latestConvState(deltas)
       .select(col("conv_id"), col("st_last_ts"), col("st_last_role"), col("st_sessions"))
-    if (segmentedSessions)
-      graft.skew.SegmentedSessions.withStateSegmented(ranged, state, gapSecs, segmentSecs)
-    else
-      withState(ranged, state, gapSecs)
+    val sessioned =
+      if (segmentedSessions)
+        graft.skew.SegmentedSessions.withStateSegmented(ranged, state, gapSecs, segmentSecs)
+      else
+        withState(ranged, state, gapSecs)
+    sessioned.withColumn("text_len", length(col("text")).cast("long"))
   }
 
   /** Per-conversation state delta of a processed slice: latest

@@ -133,7 +133,13 @@ object FusedSweep {
     StructField("tool", StringType, nullable = true),
     StructField("ts", tsType, nullable = true),
     StructField("dt", DateType, nullable = true)) ++
-    TranscriptSchema.goldFeatures.map(_.copy(nullable = true)))
+    TranscriptSchema.goldFeatures.map(_.copy(nullable = true)) :+
+    // the row's own text length, already computed by the sweep's frame
+    // bookkeeping: persisting it lets every downstream derivation
+    // (frame tails, lineage) read narrow columns only — decoding the
+    // dominant text column again just to take length() measured ~1.5 s
+    // per bench slice
+    StructField("text_len", LongType, nullable = true))
 
   /** Run the fused sweep. `state` rows carry (conv_id, st_last_ts,
     * st_last_turn_idx, st_last_role, st_sessions, slice_start);
@@ -186,7 +192,8 @@ object FusedSweep {
       val row: InternalRow,
       val gapSecs: Long, val hasGap: Boolean,
       val prevRole: UTF8String,
-      val sessionId: Int)
+      val sessionId: Int,
+      val textLen: Long)
 
   /** The sweep itself. Input rows are sorted by
     * (conv, turn-with-state-first, _k, _seq, ts, role, tool, text).
@@ -276,7 +283,7 @@ object FusedSweep {
       val isBreak = !hasPrev || g > gapSecs
       if (k == 2) {
         if (isBreak) sessions += 1
-        group += new Pending(r.copy(), g, hasPrev, prevRole, sessions)
+        group += new Pending(r.copy(), g, hasPrev, prevRole, sessions, textLen)
         groupOpen = true
       } else if (!sawState && isBreak) {
         // no carried state = full history present (single-shot use):
@@ -379,7 +386,7 @@ object FusedSweep {
 
     private def emit(p: Pending): InternalRow = {
       val r = p.row
-      val out = new Array[Any](15)
+      val out = new Array[Any](16)
       out(0) = r.getUTF8String(CONV)
       out(1) = r.getInt(TURN)
       out(2) = r.getUTF8String(ROLE)
@@ -395,6 +402,7 @@ object FusedSweep {
       out(12) = p.prevRole
       out(13) = if (p.hasGap) p.gapSecs else null
       out(14) = p.sessionId
+      out(15) = p.textLen
       new GenericInternalRow(out)
     }
   }

@@ -254,7 +254,9 @@ object Checkpoint {
         struct(
           unix_timestamp(col("ts")).as("t"),
           col("turn_idx").as("tn"),
-          length(col("text")).cast("long").as("len"),
+          // text_len is emitted by the gold writers so this read stays
+          // narrow — no re-decode of the dominant text column
+          col("text_len").as("len"),
           col("tool").as("tool")).as("_e"))
       .groupBy(col("conv_id"), col("chunk"))
       .agg(sort_array(collect_list(col("_e"))).as("_ents"))
