@@ -268,12 +268,10 @@ object Backfill {
             .filter(col("slice_id") === id)
           phase(id, "silver write")(writeSlice(goldWritten.select(silverCols.map(col): _*), silverPath))
 
-          // --- state DELTA for later slices (only touched conversations) ---
-          phase(id, "state delta")(Checkpoint.writeConvStateDelta(outDir, start, stateDelta(goldWritten)))
-
-          // --- compact frame-seed tails for later slices' lookback ---
-          phase(id, "frame tail")(Checkpoint.writeFrameTail(outDir, start,
-            Checkpoint.frameTailFromGold(goldWritten)))
+          // --- fused slice meta for later slices: state delta + frame
+          // tails, ONE aggregate + ONE write (only touched conversations)
+          phase(id, "slice meta")(Checkpoint.writeConvStateDelta(outDir, start,
+            Checkpoint.sliceMetaFromGold(goldWritten, heavyIds)))
 
           // --- lineage, then the committing watermark row (atomic last) ---
           val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -380,16 +378,6 @@ object Backfill {
         withState(ranged, state, gapSecs)
     sessioned.withColumn("text_len", length(col("text")).cast("long"))
   }
-
-  /** Per-conversation state delta of a processed slice: latest
-    * (ts, turn_idx, role) and the running session count.
-    */
-  private[graft] def stateDelta(goldSlice: DataFrame): DataFrame =
-    goldSlice.groupBy(col("conv_id")).agg(
-      max_by(col("ts"), struct(col("ts"), col("turn_idx"))).as("st_last_ts"),
-      max_by(col("turn_idx"), struct(col("ts"), col("turn_idx"))).as("st_last_turn_idx"),
-      max_by(col("role"), struct(col("ts"), col("turn_idx"))).as("st_last_role"),
-      max(col("session_id")).as("st_sessions"))
 
   /** Lookback context: the `[start - MaxLookback, start)` tail of the
     * already-written silver table. Slices are time ranges by

@@ -51,8 +51,7 @@ object FusedSweep {
     */
   private[graft] def inputColumns(df: DataFrame): Seq[Column] = Seq(
     col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
-    col("_k"), col("_seq"), col("_sessions"),
-    col("_tail_ts"), col("_tail_len"), col("_tail_tool"))
+    col("_k"), col("_seq"), col("_sessions"))
 
   private val CONV = 0
   private val TURN = 1
@@ -63,20 +62,20 @@ object FusedSweep {
   private val K = 6
   private val SEQ = 7
   private val SESSIONS = 8
-  private val TAIL_TS = 9
-  private val TAIL_LEN = 10
-  private val TAIL_TOOL = 11
 
-  private def nullTailCols: Seq[Column] = Seq(
-    lit(null).cast("array<bigint>").as("_tail_ts"),
-    lit(null).cast("array<bigint>").as("_tail_len"),
-    lit(null).cast("array<string>").as("_tail_tool"))
+  // the tail side-stream's own (narrow) schema
+  private val T_CONV = 0
+  private val T_SEQ = 1
+  private val T_CHUNK = 2
+  private val T_TS = 3
+  private val T_LEN = 4
+  private val T_TOOL = 5
 
   /** State pseudo-rows from the delta chain (slice_start becomes the
     * `_seq` tiebreaker: the latest delta per conversation wins).
     */
   private[graft] def stateRows(deltas: DataFrame): DataFrame =
-    deltas.select(Seq(
+    deltas.select(
       col("conv_id"),
       col("st_last_turn_idx").as("turn_idx"),
       col("st_last_role").as("role"),
@@ -85,42 +84,52 @@ object FusedSweep {
       col("st_last_ts").as("ts"),
       lit(0).as("_k"),
       col("slice_start").cast("long").as("_seq"),
-      col("st_sessions").as("_sessions")) ++ nullTailCols: _*)
+      col("st_sessions").as("_sessions"))
 
   private[graft] def contextRows(context: DataFrame): DataFrame =
-    context.select(Seq(
+    context.select(
       col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
-      lit(1).as("_k"), lit(0L).as("_seq"), lit(null).cast("int").as("_sessions")) ++
-      nullTailCols: _*)
+      lit(1).as("_k"), lit(0L).as("_seq"), lit(null).cast("int").as("_sessions"))
 
   private[graft] def bronzeRows(bronze: DataFrame): DataFrame =
-    bronze.select(Seq(
+    bronze.select(
       col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
-      lit(2).as("_k"), lit(0L).as("_seq"), lit(null).cast("int").as("_sessions")) ++
-      nullTailCols: _*)
+      lit(2).as("_k"), lit(0L).as("_seq"), lit(null).cast("int").as("_sessions"))
 
-  /** Frame-tail pseudo-rows ([[graft.meta.Checkpoint.frameTailFromGold]]):
+  /** The frame-tail SIDE-STREAM ([[graft.meta.Checkpoint.readFrameTails]]):
     * per (conv, chunk), the committed lookback events pre-aggregated
     * into ts-sorted (epoch_sec, text_len, tool) arrays. They seed the
     * sliding frames ONLY — the lag chain and session counter come from
     * the state rows, which always accompany them (every committed
-    * slice that touched a conversation wrote its delta). `turn_idx`
-    * carries the chunk index for deterministic intra-slice ordering.
+    * slice that touched a conversation wrote its delta).
+    *
+    * Tails deliberately do NOT ride the big exchange: unioning them in
+    * would widen every data row by three (null) array fields — measured
+    * ~10-20% extra shuffle+sort bytes on the engine's hottest path.
+    * Instead they shuffle separately (tiny: O(convs) narrow rows) with
+    * the SAME HashPartitioning(conv_id, n), and the sweep merges the
+    * two sorted streams per partition via zipPartitions — the two
+    * shuffles route every conv_id to the same partition index because
+    * both are explicit numbered repartitions on the same expression
+    * (AQE does not touch REPARTITION_BY_NUM).
     */
-  private[graft] def tailRows(tails: DataFrame, tsType: DataType): DataFrame =
+  private[graft] def tailStream(tails: DataFrame): DataFrame =
     tails.select(
       col("conv_id"),
-      col("chunk").as("turn_idx"),
-      lit(null).cast("string").as("role"),
-      lit(null).cast("string").as("text"),
-      lit(null).cast("string").as("tool"),
-      timestamp_seconds(element_at(col("tail_ts"), 1)).cast(tsType).as("ts"),
-      lit(1).as("_k"),
       col("slice_start").cast("long").as("_seq"),
-      lit(null).cast("int").as("_sessions"),
-      col("tail_ts").as("_tail_ts"),
-      col("tail_len").as("_tail_len"),
-      col("tail_tool").as("_tail_tool"))
+      col("chunk"),
+      col("tail_ts"), col("tail_len"), col("tail_tool"))
+
+  private[graft] def emptyTails(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("conv_id", StringType, nullable = false),
+        StructField("slice_start", LongType, nullable = false),
+        StructField("chunk", IntegerType, nullable = false),
+        StructField("tail_ts", ArrayType(LongType, containsNull = false)),
+        StructField("tail_len", ArrayType(LongType, containsNull = false)),
+        StructField("tail_tool", ArrayType(StringType, containsNull = true)))))
 
   /** Gold output schema: silver columns + dt + the eight feature
     * columns, preserving the input's timestamp flavor (ntz/tz).
@@ -154,33 +163,31 @@ object FusedSweep {
       tails: Option[DataFrame] = None): DataFrame = {
     val spark = bronze.sparkSession
     val tsType = bronze.schema("ts").dataType
+    val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val unioned = stateRows(state)
       .unionByName(contextRows(context))
       .unionByName(bronzeRows(bronze))
-      .unionByName(tails.map(t => tailRows(t, tsType))
-        .getOrElse(contextRows(context).filter(lit(false))))
 
-    val isTail = col("_k") === 1 && col("_tail_ts").isNotNull
     val sorted = unioned
-      .repartition(col("conv_id"))
+      .repartition(numParts, col("conv_id"))
       .sortWithinPartitions(
         col("conv_id"),
-        // state first, then tail pseudo-rows, then data rows by turn
-        when(col("_k") === 0, lit(Int.MinValue))
-          .when(isTail, lit(Int.MinValue + 1))
-          .otherwise(col("turn_idx")),
+        when(col("_k") === 0, lit(Int.MinValue)).otherwise(col("turn_idx")),
         col("_k"), col("_seq"),
-        // tail chunks of one slice stay in turn order (chunk index
-        // rides the turn_idx field); 0 for every other row kind
-        when(isTail, col("turn_idx")).otherwise(lit(0)),
         col("ts"), col("role"), coalesce(col("tool"), lit("")), col("text"))
       .select(inputColumns(null): _*)
+
+    val tailSorted = tailStream(tails.getOrElse(emptyTails(spark)))
+      .repartition(numParts, col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("_seq"), col("chunk"))
 
     val outSchema = goldSchema(tsType)
     val gap = gapSecs
 
     val rdd = GraftInternalAccess.toInternalRdd(sorted.toDF())
-      .mapPartitions(it => new SweepIterator(it, gap))
+      .zipPartitions(GraftInternalAccess.toInternalRdd(tailSorted.toDF())) {
+        (data, tl) => new SweepIterator(data, tl, gap)
+      }
     GraftInternalAccess.internalCreateDataFrame(spark, rdd, outSchema)
   }
 
@@ -203,8 +210,38 @@ object FusedSweep {
     * (RANGE-frame tie semantics), so a tie group is buffered (copied)
     * until its last member has been seen.
     */
-  private final class SweepIterator(in: Iterator[InternalRow], gapSecs: Long)
+  private final class SweepIterator(
+      in: Iterator[InternalRow], tails: Iterator[InternalRow], gapSecs: Long)
       extends Iterator[InternalRow] {
+
+    // single-row lookahead into the (conv-sorted) tail side-stream;
+    // always a private copy (UnsafeRow buffers are reused by the
+    // underlying iterator)
+    private var tailLookahead: InternalRow = _
+    private var tailsDrained = false
+
+    private def nextTail(): InternalRow =
+      if (tailLookahead != null) { val t = tailLookahead; tailLookahead = null; t }
+      else if (tails.hasNext) tails.next()
+      else null
+
+    /** Apply every tail row of `conv` to the frames; called once per
+      * conversation, after its state rows and before its first data
+      * row. Rows of earlier conversations (state-only, inactive this
+      * slice) are skipped; the first row of a later conversation is
+      * pushed back. Both streams sort conv_id with the same binary
+      * UTF8String ordering, so a single forward merge suffices.
+      */
+    private def drainTails(conv: UTF8String): Unit = {
+      var t = nextTail()
+      while (t != null) {
+        val c = t.getUTF8String(T_CONV)
+        val cmp = c.compareTo(conv)
+        if (cmp > 0) { tailLookahead = t.copy(); return }
+        if (cmp == 0) processTail(t)
+        t = nextTail()
+      }
+    }
 
     private val f1h = new FrameQ(3600L)
     private val f24h = new FrameQ(86400L)
@@ -247,6 +284,7 @@ object FusedSweep {
       hasPrevData = false
       hasLastTurn = false
       stateTurn = Int.MinValue
+      tailsDrained = false
       groupTsSec = Long.MinValue
       groupOpen = false
       f1h.clear(); f24h.clear(); f7d.clear()
@@ -298,9 +336,9 @@ object FusedSweep {
       hasPrevData = true
     }
 
-    /** Feed one frame-tail pseudo-row: every (ts, len, tool) entry
-      * enters the sliding frames in ts order. The lag chain and the
-      * session counter are NOT touched — the state rows carry them
+    /** Feed one frame-tail row: every (ts, len, tool) entry enters the
+      * sliding frames in ts order. The lag chain and the session
+      * counter are NOT touched — the state rows carry them
       * (st_last_ts/role/sessions equal the last committed event's, so
       * the values the old raw-context path would have left behind).
       */
@@ -309,9 +347,9 @@ object FusedSweep {
         throw new IllegalStateException(
           "fused sweep: frame-tail context without carried state for conversation " +
             s"$curConv — tails seed frames only; pass the state delta chain")
-      val tsArr = r.getArray(TAIL_TS)
-      val lenArr = r.getArray(TAIL_LEN)
-      val toolArr = r.getArray(TAIL_TOOL)
+      val tsArr = r.getArray(T_TS)
+      val lenArr = r.getArray(T_LEN)
+      val toolArr = r.getArray(T_TOOL)
       var i = 0
       val n = tsArr.numElements()
       while (i < n) {
@@ -352,9 +390,8 @@ object FusedSweep {
           hasPrev = true
           sawState = true
           if (r.getInt(TURN) > stateTurn) stateTurn = r.getInt(TURN)
-        } else if (k == 1 && !r.isNullAt(TAIL_TS)) {
-          processTail(r)
         } else {
+          if (!tailsDrained) { drainTails(curConv); tailsDrained = true }
           val turn = r.getInt(TURN)
           if (k == 2 && turn <= stateTurn) {
             // re-send of a committed turn (possibly beyond the frame

@@ -201,15 +201,18 @@ object Checkpoint {
     val snap = latestSnapshotSec(spark, outDir, uptoExclusiveSec)
     val deltas =
       if (exists(spark, stateDir(outDir)))
-        spark.read.parquet(stateDir(outDir))
+        spark.read.schema(deltaFileSchema).parquet(stateDir(outDir))
           .filter(col("slice_start") < uptoExclusiveSec &&
             snap.map(s => col("slice_start") > s).getOrElse(lit(true)))
-          .select(convStateSchema.fieldNames.map(col) :+ col("slice_start").cast("long"): _*)
+          .select(convStateSchema.fieldNames.map(col).toSeq :+
+            coalesce(col("chunk"), lit(0)).as("chunk") :+
+            col("slice_start").cast("long"): _*)
       else emptyDeltas(spark)
     snap match {
       case Some(s) =>
         spark.read.parquet(snapPath(outDir, s))
-          .select(convStateSchema.fieldNames.map(col) :+ lit(s).as("slice_start"): _*)
+          .select(convStateSchema.fieldNames.map(col).toSeq :+ lit(0).as("chunk") :+
+            lit(s).as("slice_start"): _*)
           .unionByName(deltas)
       case None => deltas
     }
@@ -217,11 +220,9 @@ object Checkpoint {
 
   private def emptyDeltas(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(convStateSchema.fields :+ StructField("slice_start", LongType, nullable = false)))
-
-  private def frameTailDir(outDir: String) = s"$outDir/_meta/frame_tail"
-  private def frameTailPath(outDir: String, sliceStartSec: Long) =
-    s"${frameTailDir(outDir)}/slice_start=$sliceStartSec"
+      StructType(convStateSchema.fields.toSeq ++ Seq(
+        StructField("chunk", IntegerType, nullable = false),
+        StructField("slice_start", LongType, nullable = false))))
 
   val frameTailSchema: StructType = StructType(Seq(
     StructField("conv_id", StringType, nullable = false),
@@ -230,60 +231,99 @@ object Checkpoint {
     StructField("tail_len", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("tail_tool", ArrayType(StringType, containsNull = true), nullable = false)))
 
-  /** COMPACT frame-seed context for the fused sweep (north rule:
+  /** On-disk schema of the fused slice-meta (state delta + frame tail)
+    * rows. Explicit on every read: files written by the plain
+    * state-only writer (tests, older tables) surface null tail
+    * columns instead of failing schema inference.
+    */
+  private val deltaFileSchema: StructType = StructType(
+    convStateSchema.fields.toSeq ++ Seq(
+      StructField("chunk", IntegerType, nullable = true),
+      StructField("tail_ts", ArrayType(LongType, containsNull = false), nullable = true),
+      StructField("tail_len", ArrayType(LongType, containsNull = false), nullable = true),
+      StructField("tail_tool", ArrayType(StringType, containsNull = true), nullable = true),
+      StructField("slice_start", LongType, nullable = false)))
+
+  /** ONE aggregate deriving both per-slice metadata products from the
+    * written gold: the conversation-state delta AND the frame-tail
+    * arrays, keyed by (conv_id, chunk). Fusing them halves the
+    * per-slice metadata jobs — per-slice FIXED costs (job scheduling,
+    * an extra scan) are pure Amdahl residue that caps N->4N scaling.
+    * Chunking bounds the aggregation buffer per group: a conversation
+    * contributes ceil(turns/chunkTurns) rows, each with at most
+    * chunkTurns-entry arrays. The per-chunk st_* columns are that
+    * chunk's running state; readers resolve the conversation state as
+    * the row with the highest (slice_start, chunk) — exact because
+    * ts, turn_idx and session_id are all non-decreasing in turn order.
+    */
+  def sliceMetaFromGold(
+      gold: DataFrame,
+      heavyIds: Seq[String] = Nil,
+      chunkTurns: Int = 65536): DataFrame = {
+    val entry = struct(
+      unix_timestamp(col("ts")).as("t"),
+      col("turn_idx").as("tn"),
+      col("text_len").as("len"),
+      col("tool").as("tool"))
+    // heavy conversations stay on the heavy path forever (the dispatch
+    // checks carried st_last_turn_idx), so their tails would be dead
+    // data — skip collecting their entries (collect_list drops nulls
+    // map-side, so mega events never ride this shuffle)
+    val guarded =
+      if (heavyIds.isEmpty) entry
+      else when(!col("conv_id").isin(heavyIds: _*), entry)
+    gold
+      .select(col("conv_id"),
+        floor(col("turn_idx") / chunkTurns).cast("int").as("chunk"),
+        col("ts"), col("turn_idx"), col("role"), col("session_id"),
+        guarded.as("_e"))
+      .groupBy(col("conv_id"), col("chunk"))
+      .agg(
+        max_by(col("ts"), struct(col("ts"), col("turn_idx"))).as("st_last_ts"),
+        max_by(col("turn_idx"), struct(col("ts"), col("turn_idx"))).as("st_last_turn_idx"),
+        max_by(col("role"), struct(col("ts"), col("turn_idx"))).as("st_last_role"),
+        max(col("session_id")).as("st_sessions"),
+        sort_array(collect_list(col("_e"))).as("_ents"))
+      .select(col("conv_id"), col("chunk"),
+        col("st_last_ts"), col("st_last_turn_idx"), col("st_last_role"), col("st_sessions"),
+        // null (not empty) when no entries were collected: consumers
+        // probe element_at(tail_ts, -1), which is an ANSI error on an
+        // empty array but null-propagating on null
+        when(size(col("_ents")) > 0,
+          transform(col("_ents"), e => e.getField("t"))).as("tail_ts"),
+        when(size(col("_ents")) > 0,
+          transform(col("_ents"), e => e.getField("len"))).as("tail_len"),
+        when(size(col("_ents")) > 0,
+          transform(col("_ents"), e => e.getField("tool"))).as("tail_tool"))
+  }
+
+  /** Frame tails overlapping the lookback window [startSec - lookback,
+    * startSec), read from the fused slice-meta table (north rule:
     * "streams sorted data files to avoid full shuffles"). The sliding
     * frames (1h/24h counts+sums, 24h distinct tools, 7d avg) need only
     * (epoch_sec, text_length, tool) per committed event — not the
     * full-width silver row, and crucially not the text column that
-    * dominates silver bytes. Each slice therefore writes, per touched
-    * conversation, its events pre-aggregated into ts-sorted arrays;
-    * the NEXT slices seed their frames from these rows instead of
-    * re-scanning + re-shuffling + re-sorting the 7-day silver lookback
-    * (the round-2 context path): per-slice context volume drops from
-    * O(turns in lookback) full-width rows to O(conversations touched)
-    * narrow array rows riding the same single exchange as the state
-    * pseudo-rows. Rows are chunked at `chunkTurns` events so a
-    * pathological conversation never materializes an unbounded array
-    * (mega-conversations are dispatched to the heavy path anyway,
-    * which reads raw silver for its handful of ids).
-    */
-  def frameTailFromGold(gold: DataFrame, chunkTurns: Int = 65536): DataFrame =
-    gold
-      .select(col("conv_id"),
-        floor(col("turn_idx") / chunkTurns).cast("int").as("chunk"),
-        struct(
-          unix_timestamp(col("ts")).as("t"),
-          col("turn_idx").as("tn"),
-          // text_len is emitted by the gold writers so this read stays
-          // narrow — no re-decode of the dominant text column
-          col("text_len").as("len"),
-          col("tool").as("tool")).as("_e"))
-      .groupBy(col("conv_id"), col("chunk"))
-      .agg(sort_array(collect_list(col("_e"))).as("_ents"))
-      .select(col("conv_id"), col("chunk"),
-        transform(col("_ents"), e => e.getField("t")).as("tail_ts"),
-        transform(col("_ents"), e => e.getField("len")).as("tail_len"),
-        transform(col("_ents"), e => e.getField("tool")).as("tail_tool"))
-
-  /** Idempotent per-slice overwrite, same resume contract as the data
-    * partitions and the state deltas.
-    */
-  def writeFrameTail(outDir: String, sliceStartSec: Long, tail: DataFrame): Unit =
-    tail.write.mode(SaveMode.Overwrite).parquet(frameTailPath(outDir, sliceStartSec))
-
-  /** Frame tails overlapping the lookback window [startSec - lookback,
-    * startSec): directory-level pruning via the slice_start partition
-    * column, plus a row filter dropping chunks whose last event already
-    * falls out of the widest frame.
+    * dominates silver bytes — so the NEXT slices seed their frames
+    * from these pre-aggregated ts-sorted array rows instead of
+    * re-scanning + re-shuffling + re-sorting the 7-day silver
+    * lookback: per-slice context volume drops from O(turns in
+    * lookback) full-width rows to O(conversations touched) narrow
+    * array rows riding the same single exchange as the state
+    * pseudo-rows. Directory-level pruning via the slice_start
+    * partition column; a row filter drops chunks whose last event
+    * already falls out of the widest frame. Parquet column pruning
+    * keeps this read free for the (state-only) delta-chain read over
+    * the same files.
     */
   def readFrameTails(
       spark: SparkSession, outDir: String, startSec: Long, sliceSecs: Long,
       lookbackSecs: Long): DataFrame =
-    if (exists(spark, frameTailDir(outDir)))
-      spark.read.parquet(frameTailDir(outDir))
+    if (exists(spark, stateDir(outDir)))
+      spark.read.schema(deltaFileSchema).parquet(stateDir(outDir))
         .filter(col("slice_start") > startSec - lookbackSecs - sliceSecs &&
           col("slice_start") < startSec &&
-          element_at(col("tail_ts"), -1) >= startSec - lookbackSecs)
+          coalesce(element_at(col("tail_ts"), -1), lit(Long.MinValue)) >=
+            startSec - lookbackSecs)
         .select(frameTailSchema.fieldNames.map(col) :+ col("slice_start").cast("long"): _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -292,8 +332,13 @@ object Checkpoint {
   /** Latest state per conversation from a delta-chain read. */
   def latestConvState(deltas: DataFrame): DataFrame = {
     val cols = convStateSchema.fieldNames.filterNot(_ == "conv_id")
+    // per-chunk running state is exact at the last chunk (ts, turn_idx
+    // and session_id are non-decreasing in turn order), so the highest
+    // (slice_start, chunk) row IS the conversation state
+    val ord = if (deltas.columns.contains("chunk"))
+      struct(col("slice_start"), col("chunk")) else struct(col("slice_start"))
     deltas.groupBy(col("conv_id"))
-      .agg(max_by(struct(cols.map(col): _*), col("slice_start")).as("_s"))
+      .agg(max_by(struct(cols.map(col): _*), ord).as("_s"))
       .select(col("conv_id") +: cols.map(c => col(s"_s.$c")): _*)
   }
 

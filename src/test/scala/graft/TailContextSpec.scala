@@ -111,15 +111,18 @@ class TailContextSpec extends AnyFunSuite {
       col("ts") >= timestamp_seconds(lit(start + sliceSecs)) &&
         col("ts") < timestamp_seconds(lit(start + 2 * sliceSecs))))
     // the sweep's own output crosses an RDD boundary that hides its
-    // input plan, so assert on the exact union the sweep sorts
+    // input plans, so assert on the two streams the sweep zips: the
+    // big exchange must not touch silver, and the tail side-stream
+    // must come from the slice-meta table
     import graft.gold.FusedSweep
-    val tsType = slice2.schema("ts").dataType
     val unioned = FusedSweep.stateRows(deltas)
       .unionByName(FusedSweep.contextRows(Backfill.emptySilver(spark)))
       .unionByName(FusedSweep.bronzeRows(slice2))
-      .unionByName(FusedSweep.tailRows(tails, tsType))
       .repartition(col("conv_id"))
-    val plan = unioned.queryExecution.executedPlan.toString
-    assert(plan.contains("frame_tail") && !plan.contains("/silver"), plan.take(4000))
+    val bigPlan = unioned.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("/silver"), bigPlan.take(4000))
+    val tailPlan = FusedSweep.tailStream(tails).queryExecution.executedPlan.toString
+    assert(tailPlan.contains("conv_state") && !tailPlan.contains("/silver"),
+      tailPlan.take(4000))
   }
 }
