@@ -124,10 +124,15 @@ object Backfill {
         SliceReport(id, 0L, 0L, skipped = true)
       } else {
         // --- the current slice, half-open [start, end), validated ---
-        val sliceBronze = SilverBuilder.validate(bronze.filter(
-          bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end)))
+        val rawSlice = bronze.filter(
+          bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end))
+        val sliceBronze = SilverBuilder.validate(rawSlice)
 
-        if (phase(id, "isEmpty check")(sliceBronze.isEmpty)) {
+        // emptiness probe on the RAW slice: validate()'s not-null
+        // predicates include text, and a filter on text forces the scan
+        // to decode the dominant column — the raw probe reads only the
+        // pushed ts range + one narrow column
+        if (phase(id, "isEmpty check")(rawSlice.select(lit(1)).isEmpty)) {
           // empty slice: zero-row watermark; the delta chain simply has
           // no entry for this slice
           Checkpoint.commitSlice(spark, outDir, id,
@@ -147,9 +152,12 @@ object Backfill {
           // is heavy if THIS slice brings > thr turns, or if its
           // carried state already shows > thr turns total (turn_idx is
           // the per-conversation ordinal) — no context rescan needed.
+          // heavy-id counts on the RAW slice (same text-decode
+          // avoidance as the emptiness probe; invalid rows are noise
+          // well below any sane skew threshold)
           val heavyIds: Seq[String] = skewHeavyThreshold match {
             case Some(thr) => phase(id, "heavy ids")(
-              sliceBronze.groupBy(col("conv_id")).count()
+              rawSlice.groupBy(col("conv_id")).count()
                 .filter(col("count") > thr).select(col("conv_id"))
                 .unionByName(
                   deltas.filter(col("st_last_turn_idx") + 1 > thr).select(col("conv_id")))
@@ -287,6 +295,98 @@ object Backfill {
     reports
   }
 
+  /** LATE-DATA QUEUE (SURVEY §2.10): a bronze row whose ts falls in an
+    * already-committed slice is invisible to [[run]] (committed slices
+    * are skipped on resume — the watermark semantics). `collectLate`
+    * routes such rows to `<out>/_late/late_slice_start=<sec>` instead
+    * of letting them vanish: it scans the bronze rows inside committed
+    * slice ranges and keeps those whose (conv_id, turn_idx) appears
+    * NOWHERE in silver — i.e. genuinely missing turns, not re-sends of
+    * committed ones (those are watermark-dedup'd by design). One
+    * shuffle: bronze-in-committed-ranges anti-join the narrow
+    * (conv_id, turn_idx) silver projection. Returns the number of
+    * late rows queued. Idempotent full-overwrite of `_late`.
+    *
+    * Contract note: queued rows are assumed to OBEY the transcript
+    * contract (ts non-decreasing in turn_idx within a conversation) —
+    * i.e. a late turn's ordinal is consistent with its timestamp
+    * position among the committed turns. A corrupt row claiming a
+    * far-future ordinal with a past timestamp reprocesses like any
+    * other contract violation: the carried-turn dedup treats the
+    * conversation's subsequent lower-ordinal rows as re-sends (the
+    * same garbage-in behavior a single-shot run would exhibit under
+    * its own dedup rules).
+    */
+  def collectLate(
+      spark: SparkSession,
+      bronze: DataFrame,
+      outDir: String,
+      firstStartSec: Long,
+      sliceSecs: Long): Long = {
+    val committedIds = Checkpoint.committedSlices(spark, outDir)
+    if (committedIds.isEmpty) return 0L
+    val latePath = s"$outDir/_late"
+    val v = SilverBuilder.validate(bronze)
+    val sliceStart = (floor((unix_timestamp(col("ts")) - firstStartSec) / sliceSecs)
+      .cast("long") * sliceSecs + firstStartSec)
+    val inCommitted = v
+      .withColumn("late_slice_start", sliceStart)
+      .filter(concat(lit("s"), col("late_slice_start")).isin(committedIds.toSeq: _*))
+    val silverKeys = spark.read.parquet(s"$outDir/silver")
+      .select(col("conv_id"), col("turn_idx"))
+    val late = inCommitted.join(silverKeys, Seq("conv_id", "turn_idx"), "left_anti")
+      .select(TranscriptSchema.silver.fieldNames.filterNot(_ == "dt").map(col) :+
+        col("late_slice_start"): _*)
+    val n = late.count()
+    val p = new org.apache.hadoop.fs.Path(latePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (n > 0)
+      late.write.mode(SaveMode.Overwrite).partitionBy("late_slice_start").parquet(latePath)
+    else if (fs.exists(p)) { fs.delete(p, true); () } // stale queue fully drained
+    n
+  }
+
+  /** Reprocess queued late rows: invalidate every slice at or after
+    * the earliest late row's slice (features and carried state
+    * downstream of it change), re-run the backfill on the caller's
+    * full bronze (which contains the late rows), and clear the queue.
+    * Result equals a single-shot run over the full input
+    * (LateDataSpec property).
+    */
+  def reprocessLate(
+      spark: SparkSession,
+      bronze: DataFrame,
+      outDir: String,
+      firstStartSec: Long,
+      sliceSecs: Long,
+      nSlices: Int,
+      sessionGapSecs: Long = TranscriptSchema.DefaultSessionGapSecs,
+      skewHeavyThreshold: Option[Long] = None,
+      rangeLayoutWrites: Boolean = false,
+      compactStateEvery: Int = 16,
+      segmentSecs: Long = 604800L): Seq[SliceReport] = {
+    val latePath = s"$outDir/_late"
+    val runAll = () => run(spark, bronze, outDir, firstStartSec, sliceSecs, nSlices,
+      sessionGapSecs = sessionGapSecs, skewHeavyThreshold = skewHeavyThreshold,
+      rangeLayoutWrites = rangeLayoutWrites, compactStateEvery = compactStateEvery,
+      segmentSecs = segmentSecs)
+    if (!Checkpoint.pathExists(spark, latePath)) return runAll()
+    // the partition-dir value reads back as the narrowest fitting
+    // integral type — normalize to long
+    val minRow = spark.read.parquet(latePath)
+      .agg(min(col("late_slice_start").cast("long"))).head()
+    if (minRow.isNullAt(0)) return runAll()
+    val fromSec = minRow.getLong(0)
+    println(s"[backfill] reprocessing late data: invalidating slices from s$fromSec")
+    Checkpoint.invalidateFrom(spark, outDir, fromSec)
+    val reports = runAll()
+    // queue is consumed only after the re-run committed
+    val p = new org.apache.hadoop.fs.Path(latePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    reports
+  }
+
   /** Empty DF with the silver schema (the light path's context input —
     * frame tails replace raw context rows there).
     */
@@ -406,8 +506,15 @@ object Backfill {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(TranscriptSchema.silver.fields))
 
-  /** lag/gap/session over a slice, seeded by the previous slice's
-    * per-conversation state — exact across slice boundaries.
+  /** lag/gap/session over a slice via ONE window per conversation,
+    * seeded by the previous slice's per-conversation state — exact
+    * across slice boundaries. Production use: the ts-INVERTED
+    * conversation reroute only (the turn-ordered single window is
+    * correct under any turn/ts disagreement, where the segmented
+    * two-pass would chain summaries across ts-based segments in the
+    * wrong order); a mega-conversation serializes here, so the skew
+    * path proper is [[graft.skew.SegmentedSessions]]. Also the
+    * equality baseline in specs.
     */
   private[graft] def withState(ranged: DataFrame, state: DataFrame, gapSecs: Long): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))

@@ -22,6 +22,8 @@ import graft.sources.TranscriptSource
   *   [--segment-secs 604800]
   *   [--compact-every 16]
   *   [--range-layout]                         (range-partitioned sorted output files)
+  *   [--late-policy ignore|collect|reprocess] (rows landing in committed slices:
+  *                                             queue to <out>/_late / recompute)
   * }}}
   *
   * Re-running the same command resumes: committed slices are skipped,
@@ -40,11 +42,24 @@ object BackfillCli {
       skewThreshold: Option[Long] = Some(2000000L),
       segmentSecs: Long = 604800L,
       compactEvery: Int = 16,
-      rangeLayout: Boolean = false)
+      rangeLayout: Boolean = false,
+      latePolicy: String = "ignore")
 
   private[graft] def parseEpoch(s: String): Long =
-    if (s.forall(c => c.isDigit || c == '-')) s.toLong
-    else java.time.Instant.parse(s).getEpochSecond
+    try java.time.Instant.parse(s).getEpochSecond
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            // pure (possibly negative) integer = epoch seconds
+            if (s.nonEmpty && s.drop(if (s.startsWith("-")) 1 else 0).forall(_.isDigit))
+              s.toLong
+            else throw new IllegalArgumentException(
+              s"--start: '$s' is neither ISO-8601 instant (2024-01-01T00:00:00Z), " +
+                "ISO date (2024-01-01), nor epoch seconds")
+        }
+    }
 
   private[graft] def parse(argv: Seq[String]): Args = {
     def loop(rest: List[String], a: Args): Args = rest match {
@@ -60,6 +75,7 @@ object BackfillCli {
       case "--segment-secs" :: v :: t     => loop(t, a.copy(segmentSecs = v.toLong))
       case "--compact-every" :: v :: t    => loop(t, a.copy(compactEvery = v.toInt))
       case "--range-layout" :: t          => loop(t, a.copy(rangeLayout = true))
+      case "--late-policy" :: v :: t      => loop(t, a.copy(latePolicy = v))
       case Nil                            => a
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown or incomplete argument: $other")
@@ -70,6 +86,8 @@ object BackfillCli {
     require(a.startSec >= 0, "--start is required")
     require(a.nSlices > 0, "--slices is required")
     require(a.sliceSecs > 0, "--slice-secs must be positive")
+    require(Set("ignore", "collect", "reprocess")(a.latePolicy),
+      "--late-policy must be ignore|collect|reprocess")
     a
   }
 
@@ -86,10 +104,24 @@ object BackfillCli {
       case "json" => TranscriptSource.readJson(spark, a.bronze)
       case _      => TranscriptSource.readParquet(spark, a.bronze)
     }
-    val reports = Backfill.run(spark, bronze, a.out, a.startSec, a.sliceSecs, a.nSlices,
-      sessionGapSecs = a.sessionGapSecs, skewHeavyThreshold = a.skewThreshold,
-      rangeLayoutWrites = a.rangeLayout, compactStateEvery = a.compactEvery,
-      segmentSecs = a.segmentSecs)
+    // late-data policy (SURVEY §2.10): `collect` routes rows whose ts
+    // lands in a committed slice to <out>/_late; `reprocess` collects,
+    // invalidates the affected slices and recomputes them
+    if (a.latePolicy != "ignore") {
+      val n = Backfill.collectLate(spark, bronze, a.out, a.startSec, a.sliceSecs)
+      println(s"[backfill] late-data queue: $n row(s) in <out>/_late")
+    }
+    val reports =
+      if (a.latePolicy == "reprocess")
+        Backfill.reprocessLate(spark, bronze, a.out, a.startSec, a.sliceSecs, a.nSlices,
+          sessionGapSecs = a.sessionGapSecs, skewHeavyThreshold = a.skewThreshold,
+          rangeLayoutWrites = a.rangeLayout, compactStateEvery = a.compactEvery,
+          segmentSecs = a.segmentSecs)
+      else
+        Backfill.run(spark, bronze, a.out, a.startSec, a.sliceSecs, a.nSlices,
+          sessionGapSecs = a.sessionGapSecs, skewHeavyThreshold = a.skewThreshold,
+          rangeLayoutWrites = a.rangeLayout, compactStateEvery = a.compactEvery,
+          segmentSecs = a.segmentSecs)
     reports.foreach { r =>
       println(s"[backfill] ${r.sliceId} rows=${r.rows} wallMs=${r.wallMs}" +
         (if (r.skipped) " (skipped: already committed)" else ""))

@@ -1,0 +1,42 @@
+package graft
+
+/** Dev A/B harness: repeated backfills over a persistent bronze table
+  * at SPARK_GRAFT_CPUS parallelism — phase-level scaling forensics
+  * (pair with SPARK_GRAFT_PHASE_LOG=1).
+  */
+object BackfillOnly {
+  def main(args: Array[String]): Unit = {
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val bronzeDir = sys.env.getOrElse("SPARK_GRAFT_BRONZE_DIR", "/dev/shm/graft/bronze")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    if (!graft.meta.Checkpoint.pathExists(spark, s"$bronzeDir/_SUCCESS")) {
+      val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "300000").toLong
+      Bench.writeBronze(spark, bronzeDir, n)
+    }
+    val warm = Bench.newWorkDir("ab_warm")
+    graft.gen.TranscriptGen.transcripts(spark, 20000L, avgTurns = 30, megaConvs = 1, megaTurns = 60000)
+      .repartition(16).write.mode("overwrite").parquet(s"$warm/bronze")
+    Bench.runBackfill(spark, s"$warm/bronze", s"$warm/out")
+    def rm(d: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+    rm(warm)
+    val walls = (1 to reps).map { i =>
+      val out = Bench.newWorkDir("ab_out")
+      val t0 = System.nanoTime()
+      Bench.runBackfill(spark, bronzeDir, out)
+      val w = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val asofRows = Bench.runAsOf(spark, s"$out/gold")
+      val asofW = (System.nanoTime() - t1) / 1e9
+      rm(out)
+      println(f"[ab] run $i: $w%.2f s  (asof $asofW%.2f s, $asofRows rows)")
+      w
+    }
+    println(f"[ab] min: ${walls.min}%.2f s  median: ${walls.sorted.apply(reps / 2)}%.2f s")
+    spark.stop()
+  }
+}

@@ -107,6 +107,10 @@ object Bench {
     val gold = spark.read.parquet(goldDir).drop("slice_id")
     val queries = gold.filter(pmod(col("turn_idx"), lit(10)) === 3)
       .select(col("conv_id"), (col("ts") + expr("INTERVAL 60 SECONDS")).as("ts"))
+    // plain union+window as-of: a running `last` over a 2M-turn
+    // mega-conversation is a single ~0.5 s task — segmentation
+    // (asOfSegmented) only pays above ~10^7 turns per conversation,
+    // where its per-(conv, segment) summary overhead amortizes
     AsOfJoin.asOf(queries, gold,
       Seq("turn_idx", "turns_cnt_1h", "chars_sum_1h", "tool_distinct_24h", "session_id")).count()
   }

@@ -216,6 +216,15 @@ object ScalingBench {
          |one-time costs belonging to neither level). Tables and shuffle
          |spill on tmpfs.
          |
+         |Note on commit protocol: bench sessions enable
+         |fileoutputcommitter v2 (task-side renames) because v1's
+         |driver-serial commit grows with task count and anti-scales.
+         |v2's task commit is non-atomic under task RETRIES; these runs
+         |are retry-free (local mode fails the job on task failure, so a
+         |published run implies zero retried tasks), and correctness
+         |evidence (the DuckDB oracle gate, `sbt test`) runs under the
+         |default v1 committer.
+         |
          |$pairSections
          |## Per-stage, per-partition throughput (local[${pairs.head._2}], lineage table)
          |

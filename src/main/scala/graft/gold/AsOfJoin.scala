@@ -59,6 +59,69 @@ object AsOfJoin {
       .select(col("_q.*") +: payloadCols.map(c => col(s"_feat.$c").as(c)): _*)
   }
 
+  /** Time-segmented as-of join — the skew lever for mega-conversation
+    * histories (north rule: "salting for skewed mega-conversations").
+    * [[asOf]]'s running `last` windows over bare conv_id, so a 10^8-row
+    * conversation's history+queries serialize on one task. Here the
+    * union is windowed per (conv_id, segment) — parallel across
+    * segments — and cross-segment carry is resolved on a TINY summary
+    * table (one row per non-empty (conv, segment)): the latest payload
+    * of each segment, chained with a running `last` over the segment
+    * sequence, broadcast back, and coalesced under each segment's
+    * within-window result. Row-identical to [[asOf]]
+    * (AsOfJoinSpec property), wall-clock bounded by the densest
+    * segment instead of the densest conversation.
+    */
+  def asOfSegmented(
+      queries: DataFrame,
+      history: DataFrame,
+      payloadCols: Seq[String],
+      segmentSecs: Long = 604800L): DataFrame = {
+    val seg = floor(unix_timestamp(col("ts")) / segmentSecs).cast("long").as("_seg")
+    val hist = history.select(
+      col("conv_id"), col("ts"), seg,
+      lit(0).as("_is_query"),
+      col("turn_idx").cast("int").as("_turn"),
+      struct(payloadCols.map(col): _*).as("_payload"))
+    val qs = queries.select(
+      col("conv_id"), col("ts"), seg,
+      lit(1).as("_is_query"),
+      lit(Int.MaxValue).as("_turn"),
+      struct(queries.columns.map(col).toSeq: _*).as("_q"))
+    val unioned = hist.unionByName(qs, allowMissingColumns = true)
+
+    // within-segment running last (parallel across segments)
+    val wSeg = Window
+      .partitionBy(col("conv_id"), col("_seg"))
+      .orderBy(col("ts"), col("_is_query"), col("_turn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = unioned.withColumn("_feat_in", last(col("_payload"), ignoreNulls = true).over(wSeg))
+
+    // cross-segment carry: latest history payload per (conv, seg),
+    // chained over the conversation's segment sequence. Derived from
+    // `within` so its (conv, _seg) exchange is REUSED (no second
+    // history scan); one row per segment that appears in the union —
+    // history or query — so query-only segments still get a carry.
+    // max_by ignores null ordering keys, so query rows never win.
+    val segLast = within.groupBy(col("conv_id"), col("_seg"))
+      .agg(max_by(col("_payload"),
+        when(col("_is_query") === 0, struct(col("ts"), col("_turn")))).as("_seg_last"))
+    val wConv = Window.partitionBy(col("conv_id")).orderBy(col("_seg"))
+    val carry = segLast
+      .withColumn("_carry", last(col("_seg_last"), ignoreNulls = true)
+        .over(wConv.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("conv_id"), col("_seg"), col("_carry"))
+
+    // summary is O(conv x active segments) — small but not guaranteed
+    // broadcastable at 10^9 conversations; AQE picks broadcast when it
+    // fits, a co-partitioned join otherwise
+    within
+      .join(carry, Seq("conv_id", "_seg"))
+      .withColumn("_feat", coalesce(col("_feat_in"), col("_carry")))
+      .filter(col("_is_query") === 1)
+      .select(col("_q.*") +: payloadCols.map(c => col(s"_feat.$c").as(c)): _*)
+  }
+
   /** Brute-force oracle formulation (tests only): join every history
     * row at or before the query ts, keep max (ts, turn_idx) via max_by.
     * Semantically identical to [[asOf]]; quadratic in conversation

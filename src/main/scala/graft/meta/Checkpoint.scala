@@ -279,13 +279,16 @@ object Checkpoint {
         guarded.as("_e"))
       .groupBy(col("conv_id"), col("chunk"))
       .agg(
-        max_by(col("ts"), struct(col("ts"), col("turn_idx"))).as("st_last_ts"),
-        max_by(col("turn_idx"), struct(col("ts"), col("turn_idx"))).as("st_last_turn_idx"),
-        max_by(col("role"), struct(col("ts"), col("turn_idx"))).as("st_last_role"),
+        // ONE max_by buffer for the three last-row fields (three
+        // separate max_bys triple the per-row aggregation work)
+        max_by(struct(col("ts").as("st_last_ts"), col("turn_idx").as("st_last_turn_idx"),
+          col("role").as("st_last_role")), struct(col("ts"), col("turn_idx"))).as("_st"),
         max(col("session_id")).as("st_sessions"),
         sort_array(collect_list(col("_e"))).as("_ents"))
       .select(col("conv_id"), col("chunk"),
-        col("st_last_ts"), col("st_last_turn_idx"), col("st_last_role"), col("st_sessions"),
+        col("_st.st_last_ts").as("st_last_ts"),
+        col("_st.st_last_turn_idx").as("st_last_turn_idx"),
+        col("_st.st_last_role").as("st_last_role"), col("st_sessions"),
         // null (not empty) when no entries were collected: consumers
         // probe element_at(tail_ts, -1), which is an ANSI error on an
         // empty array but null-propagating on null
@@ -340,6 +343,44 @@ object Checkpoint {
     deltas.groupBy(col("conv_id"))
       .agg(max_by(struct(cols.map(col): _*), ord).as("_s"))
       .select(col("conv_id") +: cols.map(c => col(s"_s.$c")): _*)
+  }
+
+  /** Invalidate all checkpoint state for slices starting at or after
+    * `fromSec`: watermark rows, state/tail delta dirs, and snapshots.
+    * The next [[graft.Backfill.run]] recomputes exactly those slices
+    * (idempotent slice-dir overwrites); earlier slices stay committed.
+    * Used by late-data reprocessing — a late row landing in a
+    * committed slice invalidates that slice and everything downstream
+    * of it (features and carried state after it change).
+    */
+  def invalidateFrom(spark: SparkSession, outDir: String, fromSec: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def del(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+    def listNames(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq.map(_.getPath.getName)
+    }
+    listNames(wmPath(outDir))
+      .flatMap(n => n.stripSuffix(".json").stripPrefix("s").toLongOption.map(n -> _))
+      .filter(_._2 >= fromSec)
+      .foreach { case (n, _) => del(s"${wmPath(outDir)}/$n") }
+    listNames(stateDir(outDir))
+      .flatMap(n => n.stripPrefix("slice_start=").toLongOption.map(n -> _))
+      .filter(_._2 >= fromSec)
+      .foreach { case (n, _) => del(s"${stateDir(outDir)}/$n") }
+    listNames(snapDir(outDir))
+      .flatMap(n => n.stripPrefix("upto=").toLongOption.map(n -> _))
+      .filter(_._2 >= fromSec)
+      .foreach { case (n, _) => del(s"${snapDir(outDir)}/$n") }
+    listNames(linPath(outDir))
+      .flatMap(n => n.stripSuffix(".json").stripPrefix("s").toLongOption.map(n -> _))
+      .filter(_._2 >= fromSec)
+      .foreach { case (n, _) => del(s"${linPath(outDir)}/$n") }
   }
 
   /** Collapse the chain at `uptoInclusiveSec` into a snapshot. Only

@@ -72,6 +72,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("asOfSegmented == asOf on the standard fixture (all null/tie/exact cases)") {
+    val plain = AsOfJoin.asOf(queries, gold, payload).withColumnRenamed("turn_idx", "m_turn")
+    val seg = AsOfJoin.asOfSegmented(queries, gold, payload, segmentSecs = 86400L)
+      .withColumnRenamed("turn_idx", "m_turn")
+    assert(seg.count() == queries.count())
+    assert(seg.exceptAll(plain).count() == 0 && plain.exceptAll(seg).count() == 0)
+  }
+
+  test("asOfSegmented parallelizes a mega-conversation across segments") {
+    // one dense 40k-turn conversation spanning ~2 weeks
+    val mega = FeatureWindows.rangeFeatures(SilverBuilder.build(
+      TranscriptGen.transcripts(spark, nConvs = 1, avgTurns = 2, megaConvs = 1, megaTurns = 40000)))
+      .select("conv_id", "turn_idx", "ts", "turns_cnt_1h", "chars_sum_1h")
+    val q = mega.filter(pmod(col("turn_idx"), lit(10)) === 3)
+      .select(col("conv_id"), (col("ts") + expr("INTERVAL 13 SECONDS")).as("ts"))
+      .withColumn("q_id", monotonically_increasing_id())
+    val seg = AsOfJoin.asOfSegmented(q, mega, payload, segmentSecs = 86400L)
+      .withColumnRenamed("turn_idx", "m_turn")
+    val plain = AsOfJoin.asOf(q, mega, payload).withColumnRenamed("turn_idx", "m_turn")
+    assert(seg.count() == q.count())
+    assert(seg.exceptAll(plain).count() == 0 && plain.exceptAll(seg).count() == 0)
+    // the big window must run over (conv_id, _seg), not bare conv_id
+    val plan = seg.queryExecution.executedPlan.toString
+    assert(plan.contains("_seg"), plan.take(3000))
+  }
+
   test("latestForKeys respects the key set") {
     import spark.implicits._
     val keys = gold.select("conv_id").distinct().limit(5).cache()
