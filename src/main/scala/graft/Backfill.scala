@@ -183,7 +183,31 @@ object Backfill {
               FusedSweep.gold(deltas, emptySilver(spark), sliceBronze, sessionGapSecs, Some(tails))
             else {
               val isRouted = col("conv_id").isin(routedIds: _*)
-              val context = contextRead(spark, silverPath, id, start, sliceSecs)
+              // routed context comes from GOLD, narrow: the isin
+              // predicate cannot prune row groups (conv ids are not
+              // clustered), so a silver-based read would decode the
+              // whole lookback INCLUDING text just to find a handful
+              // of conversations; gold carries text_len, letting the
+              // frame stage skip the dominant column entirely
+              val tsType = bronze.schema("ts").dataType
+              val goldFileSchema = org.apache.spark.sql.types.StructType(
+                TranscriptSchema.gold.fields.map(f =>
+                  if (f.name == "ts") f.copy(dataType = tsType) else f.copy(nullable = true)) ++ Seq(
+                  org.apache.spark.sql.types.StructField("text_len",
+                    org.apache.spark.sql.types.LongType, nullable = true),
+                  org.apache.spark.sql.types.StructField("slice_id",
+                    org.apache.spark.sql.types.StringType, nullable = true)))
+              val ctxRaw = contextRead(spark, goldPath, id, start, sliceSecs,
+                Some(goldFileSchema))
+              // first slice: no gold yet — contextRead's empty fallback
+              // has the silver schema, which lacks text_len
+              val ctxLenCol =
+                if (ctxRaw.columns.contains("text_len")) col("text_len")
+                else lit(null).cast("long").as("text_len")
+              val context = ctxRaw
+                .select(col("conv_id"), col("turn_idx"), col("role"),
+                  lit(null).cast("string").as("text"), col("tool"), col("ts"),
+                  col("dt"), ctxLenCol)
                 .filter(isRouted)
               val light = FusedSweep.gold(
                 deltas.filter(!isRouted), emptySilver(spark),
@@ -444,8 +468,15 @@ object Backfill {
     val bronzeNew = sliceBronze.join(broadcast(lastTurns), Seq("conv_id"), "left")
       .filter(col("_lt").isNull || col("turn_idx") > col("_lt")).drop("_lt")
     // committed context rows take precedence (_k = 1 < 2), then the
-    // SilverBuilder winner order — identical to the fused sweep's
-    val both = FusedSweep.contextRows(context.drop("dt"))
+    // SilverBuilder winner order — identical to the fused sweep's.
+    // Context may arrive gold-sourced (null text + text_len) or as raw
+    // silver (specs, single-shot use) — normalize the frame length.
+    val hasLen = context.columns.contains("text_len")
+    val ctx = context.drop("dt")
+    val ctxLen =
+      if (hasLen) coalesce(col("text_len"), lit(0L))
+      else coalesce(length(col("text")).cast("long"), lit(0L))
+    val both = FusedSweep.contextRows(ctx.drop("text_len"))
       .unionByName(FusedSweep.bronzeRows(bronzeNew))
     val silverH = both
       .groupBy(col("conv_id"), col("turn_idx"))
@@ -457,15 +488,19 @@ object Backfill {
         col("_w._k").as("_k"))
       .filter(col("_k") === 2).drop("_k")
 
-    val withContext = context.drop("dt")
-      .select(silverH.columns.map(col): _*)
-      .unionByName(silverH)
+    val ctxF = ctx.withColumn("_fw_len", ctxLen).drop("text_len")
+    val silverF = silverH.withColumn("_fw_len",
+      coalesce(length(col("text")).cast("long"), lit(0L)))
+    val withContext = ctxF
+      .select(silverF.columns.map(col): _*)
+      .unionByName(silverF)
     // O(n) segment-salted sweep (FastWindows), NOT the declarative
     // ChunkedWindows twin — WindowExec rebuilds collect_set per row of
     // a sliding range frame, O(rows x frame), unrunnable on a
     // mega-conversation (the two are property-tested equal)
     val ranged = graft.gold.FastWindows
       .rangeFeaturesChunked(withContext, segmentSecs)
+      .drop("_fw_len")
       .filter(col("ts") >= tsLit(withContext, start))
       .withColumn("dt", to_date(col("ts")))
 
@@ -491,9 +526,12 @@ object Backfill {
     */
   private[graft] def contextRead(
       spark: SparkSession, silverPath: String, id: String, start: Long,
-      sliceSecs: Long): DataFrame =
+      sliceSecs: Long, schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     if (Checkpoint.pathExists(spark, silverPath)) {
-      val silverAll = spark.read.parquet(silverPath)
+      // an explicit schema also covers dirs whose only slice write
+      // FAILED mid-flight (zero readable files): inference would throw
+      val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      val silverAll = reader.parquet(silverPath)
       val sliceStart = substring(col("slice_id"), 2, 18).cast("long")
       silverAll
         .filter(col("slice_id") =!= id &&

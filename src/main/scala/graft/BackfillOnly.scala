@@ -24,11 +24,31 @@ object BackfillOnly {
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
     rm(warm)
+    // job-level accounting: wall spent INSIDE Spark jobs vs outside
+    // (planning, driver logic, FS ops) — the outside share is the
+    // per-run fixed cost that caps N->4N scaling
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobStarts.put(js.jobId, System.nanoTime()); ()
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(jobStarts.remove(je.jobId)).foreach(t0 =>
+          jobNanos.addAndGet(System.nanoTime() - t0))
+        ()
+      }
+    })
+
     val walls = (1 to reps).map { i =>
       val out = Bench.newWorkDir("ab_out")
+      jobNanos.set(0L)
       val t0 = System.nanoTime()
       Bench.runBackfill(spark, bronzeDir, out)
       val w = (System.nanoTime() - t0) / 1e9
+      // listener events are async; give the bus a beat
+      Thread.sleep(300)
+      println(f"[ab] jobs: ${jobNanos.get() / 1e9}%.2f s in-job, ${w - jobNanos.get() / 1e9}%.2f s outside")
       val t1 = System.nanoTime()
       val asofRows = Bench.runAsOf(spark, s"$out/gold")
       val asofW = (System.nanoTime() - t1) / 1e9

@@ -118,6 +118,11 @@ object FastWindows {
     val tsIdx = inSchema.fieldIndex("ts")
     val textIdx = inSchema.fieldIndex("text")
     val toolIdx = inSchema.fieldIndex("tool")
+    // optional precomputed length column: context rows sourced from the
+    // gold table carry text_len instead of the text itself, so the scan
+    // never decodes the dominant column just to take a length
+    val lenIdx: Int =
+      if (inSchema.fieldNames.contains("_fw_len")) inSchema.fieldIndex("_fw_len") else -1
 
     val sorted = silver
       .repartition(partCols: _*)
@@ -152,8 +157,12 @@ object FastWindows {
           var i = 0
           while (i < group.length) {
             val r = group(i)
-            val text = r.getString(textIdx)
-            val len = if (text == null) 0L else text.codePointCount(0, text.length).toLong
+            val len =
+              if (lenIdx >= 0) { if (r.isNullAt(lenIdx)) 0L else r.getLong(lenIdx) }
+              else {
+                val text = r.getString(textIdx)
+                if (text == null) 0L else text.codePointCount(0, text.length).toLong
+              }
             state.addOne(t, len, if (r.isNullAt(toolIdx)) null else r.getString(toolIdx))
             i += 1
           }
