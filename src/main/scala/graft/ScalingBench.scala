@@ -199,16 +199,15 @@ object ScalingBench {
          |at two core pairs per the driver instruction, with per-pair HOST
          |CONTROLS that bracket what this single-socket VM can deliver:
          |
-         |- **local[2] -> local[8] is the cluster-faithful pair**: the
-         |  controls show both CPU and DRAM bandwidth scale ~flat there,
-         |  which matches real N -> 4N executors (each executor brings its
-         |  own memory bus and disks).
-         |- local[4] -> local[16] is reported for continuity with round 1:
-         |  there the PURE MEMORY-STREAMING control itself caps near the
-         |  engine's number — all 16 cores share one DRAM bus, a confound
-         |  that does not exist between real clusters of different sizes —
-         |  so that pair measures the silicon's bandwidth wall, not the
-         |  engine's parallelism.
+         |${pairs.map { case (lo, hi) =>
+             val r = results((lo, hi))
+             val share = if (r.memEff > 0) r.eff / r.memEff else Double.NaN
+             f"- local[$lo] -> local[$hi]: controls measured pure-CPU ${r.burnEff}%.3f, " +
+               f"pure memory-streaming ${r.memEff}%.3f. The engine's ${r.eff}%.3f is " +
+               f"${share * 100}%.0f%% of the DRAM-streaming ceiling — on one socket " +
+               "every added core shares the same memory bus, a confound real N -> 4N " +
+               "EXECUTORS do not have (each executor brings its own bus and disks)."
+           }.mkString("\n")}
          |
          |Protocol: per pair each level runs twice, interleaved
          |(hi, lo, hi, lo); minimum per level reported. Fresh JVM session
