@@ -76,9 +76,51 @@ object Backfill {
   private def dtLit(sec: Long): Column =
     lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))))
 
+  /** Bound on the state-delta chain length before ADAPTIVE compaction
+    * fires (chain reads are O(chain x touched conversations); 4 bounds
+    * the read amplification at 4x steady-state while amortizing the
+    * compaction write to 1/4 per slice).
+    */
+  private val MaxStateChain = 4
+
   /** Run the backfill for contiguous slices covering
     * [firstStartSec, firstStartSec + nSlices * sliceSecs). `bronze` is
     * the raw input (any layout); rows are routed to slices by ts.
+    *
+    * `contextStrategy` picks how committed lookback events reach the
+    * sliding frames of later slices:
+    *  - "rescan": each slice re-reads the narrow (conv_id, ts,
+    *    text_len, tool) columns of the committed gold inside the
+    *    lookback window — parquet column pruning skips the dominant
+    *    text column, and the rows ride a tiny side shuffle (not the
+    *    big exchange). Best when slices are at least about as wide as
+    *    the lookback (the re-read is < 1 slice of narrow rows).
+    *  - "tails": each slice pre-aggregates its events into ts-sorted
+    *    per-(conv, chunk) arrays fused with the state delta; later
+    *    slices read those instead of the gold. Best when slices are
+    *    much NARROWER than the lookback (hourly slices + a 7d frame
+    *    would re-read ~168 slices of events every slice under
+    *    rescan; tails make that O(conversations) array rows).
+    *  - "auto" (default): tails iff lookback >= 2x slice width.
+    *
+    * `skewHeavyThreshold` routes conversations whose PER-SLICE cost —
+    * rows in this slice, or committed lookback events — exceeds the
+    * threshold onto the segmented heavy path. The cost of one plain
+    * fused-sweep task is O(slice rows + lookback context) per
+    * conversation, so the dispatch keys on exactly that; cumulative
+    * conversation size is irrelevant (a 10^8-turn conversation that
+    * went quiet costs nothing). Measured on this host the plain sweep
+    * handles ~600k rows/conversation/slice in well under a second of
+    * straggler time while the segmented machinery costs seconds of
+    * fixed overhead — dispatch pays only in the millions
+    * (Bench/docs/NEXT.md).
+    *
+    * `materializeSilver`: the gold schema is a superset of silver
+    * (silver columns + features), so the silver layer is SERVED as a
+    * projection of the gold files ([[readSilver]]) — zero duplicate
+    * storage and one less write per slice. Set true to also write a
+    * physical `silver/` copy (e.g. to serve silver to readers that
+    * must not see feature columns at the storage ACL level).
     */
   def run(
       spark: SparkSession,
@@ -92,12 +134,33 @@ object Backfill {
       skewHeavyThreshold: Option[Long] = None,
       rangeLayoutWrites: Boolean = false,
       compactStateEvery: Int = 16,
-      segmentSecs: Long = 604800L): Seq[SliceReport] = {
+      segmentSecs: Long = 604800L,
+      contextStrategy: String = "auto",
+      materializeSilver: Boolean = false): Seq[SliceReport] = {
 
     val committed = Checkpoint.committedSlices(spark, outDir)
     val silverPath = s"$outDir/silver"
     val goldPath = s"$outDir/gold"
     val silverCols = TranscriptSchema.silver.fieldNames.toSeq
+    val useTails = contextStrategy match {
+      case "tails"  => true
+      case "rescan" => false
+      case "auto"   => MaxLookbackSecs >= 2 * sliceSecs
+      case other => throw new IllegalArgumentException(
+        s"contextStrategy must be auto|tails|rescan, got '$other'")
+    }
+
+    val tsType = bronze.schema("ts").dataType
+    // explicit read schema for all committed-gold reads: survives empty
+    // dirs (zero readable files) and pre-upgrade slices (text_len reads
+    // as null instead of failing inference)
+    val goldFileSchema = org.apache.spark.sql.types.StructType(
+      TranscriptSchema.gold.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = tsType) else f.copy(nullable = true)) ++ Seq(
+        org.apache.spark.sql.types.StructField("text_len",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("slice_id",
+          org.apache.spark.sql.types.StringType, nullable = true)))
 
     // Resuming/extending with a different slice width would silently
     // mis-prune the lookback reads (slice dirs are time ranges of the
@@ -114,6 +177,17 @@ object Backfill {
             "resume this table with its original slice width")
       }
 
+    // Table-version guard (resume across engine upgrades): the frame
+    // stages read the persisted text_len of committed gold; a table
+    // written before that column existed would silently zero the
+    // char-length features of lookback context. Fail loudly instead.
+    if (committed.nonEmpty && Checkpoint.pathExists(spark, goldPath) &&
+        !spark.read.parquet(goldPath).columns.contains("text_len"))
+      throw new IllegalArgumentException(
+        "committed gold table lacks the text_len column (written by an older engine " +
+          "version); re-run the backfill from scratch, or backfill text_len = " +
+          "length(text) into the committed slices first")
+
     val reports = (0 until nSlices).map { i =>
       val start = firstStartSec + i * sliceSecs
       val end = start + sliceSecs
@@ -128,195 +202,250 @@ object Backfill {
           bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end))
         val sliceBronze = SilverBuilder.validate(rawSlice)
 
-        // emptiness probe on the RAW slice: validate()'s not-null
-        // predicates include text, and a filter on text forces the scan
-        // to decode the dominant column — the raw probe reads only the
-        // pushed ts range + one narrow column
-        if (phase(id, "isEmpty check")(rawSlice.select(lit(1)).isEmpty)) {
-          // empty slice: zero-row watermark; the delta chain simply has
-          // no entry for this slice
-          Checkpoint.commitSlice(spark, outDir, id,
-            new Timestamp(start * 1000L), new Timestamp(end * 1000L), None, 0L)
-          SliceReport(id, 0L, (System.nanoTime() - t0) / 1000000L, skipped = false)
-        } else {
-          // --- carried per-conversation state: the delta chain of all
-          // committed slices before this one (one parquet read; the
-          // sweep resolves latest-per-conversation inline)
-          val deltas = phase(id, "delta chain read")(Checkpoint.readConvStateDeltas(spark, outDir, start))
+        // --- carried per-conversation state: the delta chain of all
+        // committed slices before this one (one parquet read; the
+        // sweep resolves latest-per-conversation inline)
+        val deltas = phase(id, "delta chain read")(Checkpoint.readConvStateDeltas(spark, outDir, start))
 
-          // --- skew dispatch: conversations above the threshold take
-          // the segmented (chunked-window + two-pass session) path.
-          // Heavy ids are the skew TAIL — tiny by construction — so one
-          // map-combined count + driver collect beats re-planning
-          // broadcast joins into all six split branches. A conversation
-          // is heavy if THIS slice brings > thr turns, or if its
-          // carried state already shows > thr turns total (turn_idx is
-          // the per-conversation ordinal) — no context rescan needed.
-          // heavy-id counts on the RAW slice (same text-decode
-          // avoidance as the emptiness probe; invalid rows are noise
-          // well below any sane skew threshold)
-          val heavyIds: Seq[String] = skewHeavyThreshold match {
-            case Some(thr) => phase(id, "heavy ids")(
-              rawSlice.groupBy(col("conv_id")).count()
-                .filter(col("count") > thr).select(col("conv_id"))
-                .unionByName(
-                  deltas.filter(col("st_last_turn_idx") + 1 > thr).select(col("conv_id")))
-                .distinct()
-                .collect().map(_.getString(0)).toSeq)
-            case None => Nil
-          }
-
-          // --- lookback frame context: COMPACT tails from the
-          // checkpoint layer (one narrow array row per conv per slice
-          // per 64k turns) instead of re-scanning + re-shuffling the
-          // full-width 7-day silver tail every slice. Cross-slice dedup
-          // rides the carried st_last_turn_idx (horizon-free — strictly
-          // closer to the single-shot semantics than the round-2
-          // lookback-window dedup). Raw silver context is read ONLY for
-          // the routed (heavy / ts-inverted) conversations.
-          val tails = phase(id, "tail read")(
+        // --- committed lookback context, per strategy ---
+        val tails =
+          if (useTails) phase(id, "tail read")(
             Checkpoint.readFrameTails(spark, outDir, start, sliceSecs, MaxLookbackSecs))
+          else FusedSweep.emptyTails(spark)
+        // narrow gold context: conv_id + ts + persisted text_len + tool
+        // only — parquet column pruning never touches the dominant
+        // text column. Used by the rescan frame stream, the heavy
+        // path's frame context, and the context-size arm of the skew
+        // dispatch.
+        def ctxGold: DataFrame = contextRead(spark, goldPath, id, start, sliceSecs,
+          Some(goldFileSchema))
 
-          def buildGold(heavy: Seq[String], inverted: Seq[String]): DataFrame = {
-            val routedIds = (heavy ++ inverted).distinct
-            if (routedIds.isEmpty)
-              FusedSweep.gold(deltas, emptySilver(spark), sliceBronze, sessionGapSecs, Some(tails))
-            else {
-              val isRouted = col("conv_id").isin(routedIds: _*)
-              // routed context comes from GOLD, narrow: the isin
-              // predicate cannot prune row groups (conv ids are not
-              // clustered), so a silver-based read would decode the
-              // whole lookback INCLUDING text just to find a handful
-              // of conversations; gold carries text_len, letting the
-              // frame stage skip the dominant column entirely
-              val tsType = bronze.schema("ts").dataType
-              val goldFileSchema = org.apache.spark.sql.types.StructType(
-                TranscriptSchema.gold.fields.map(f =>
-                  if (f.name == "ts") f.copy(dataType = tsType) else f.copy(nullable = true)) ++ Seq(
-                  org.apache.spark.sql.types.StructField("text_len",
-                    org.apache.spark.sql.types.LongType, nullable = true),
-                  org.apache.spark.sql.types.StructField("slice_id",
-                    org.apache.spark.sql.types.StringType, nullable = true)))
-              val ctxRaw = contextRead(spark, goldPath, id, start, sliceSecs,
-                Some(goldFileSchema))
-              // first slice: no gold yet — contextRead's empty fallback
-              // has the silver schema, which lacks text_len
-              val ctxLenCol =
-                if (ctxRaw.columns.contains("text_len")) col("text_len")
-                else lit(null).cast("long").as("text_len")
-              val context = ctxRaw
-                .select(col("conv_id"), col("turn_idx"), col("role"),
-                  lit(null).cast("string").as("text"), col("tool"), col("ts"),
-                  col("dt"), ctxLenCol)
-                .filter(isRouted)
-              val light = FusedSweep.gold(
-                deltas.filter(!isRouted), emptySilver(spark),
-                sliceBronze.filter(!isRouted), sessionGapSecs,
-                Some(tails.filter(!isRouted)))
-              // ts-inverted conversations take the plain single-window
-              // session stage: SegmentedSessions chains per-segment
-              // summaries in turn order within TS-based segments, which
-              // an inversion crossing a segment boundary would corrupt.
-              // (Anomalies are few; heavy AND inverted prefers correct.)
-              val segIds = heavy.filterNot(inverted.contains)
-              val parts = Seq(
-                (segIds, true), (inverted, false)).filter(_._1.nonEmpty).map {
-                case (ids, segmented) =>
-                  val in = col("conv_id").isin(ids: _*)
-                  heavyGold(deltas.filter(in), context.filter(in),
-                    sliceBronze.filter(in), start, sessionGapSecs, segmentSecs,
-                    segmentedSessions = segmented)
-              }
-              parts.foldLeft(light)((acc, h) =>
-                acc.unionByName(h.select(light.columns.map(col): _*)))
+        // --- skew dispatch on PER-SLICE cost: rows this slice, or
+        // committed lookback events (what one sweep task would have to
+        // stream for the conversation). Heavy ids are the skew TAIL —
+        // tiny by construction — so one map-combined count + driver
+        // collect beats re-planning broadcast joins into all split
+        // branches. Counts read narrow columns only.
+        val heavyIds: Seq[String] = skewHeavyThreshold match {
+          case Some(thr) => phase(id, "heavy ids")({
+            val sliceCnt = rawSlice.groupBy(col("conv_id")).count()
+            val ctxCnt =
+              if (useTails)
+                tails.groupBy(col("conv_id")).agg(sum(size(col("tail_ts"))).as("count"))
+              else ctxGold.groupBy(col("conv_id")).count()
+            sliceCnt.filter(col("count") > thr).select(col("conv_id"))
+              .unionByName(ctxCnt.filter(col("count") > thr).select(col("conv_id")))
+              .distinct()
+              .collect().map(_.getString(0)).toSeq
+          })
+          case None => Nil
+        }
+
+        def buildGold(heavy: Seq[String], inverted: Seq[String]): DataFrame = {
+          val routedIds = (heavy ++ inverted).distinct
+          val isRouted =
+            if (routedIds.isEmpty) lit(false) else col("conv_id").isin(routedIds: _*)
+          val lightCtxStream =
+            if (useTails) None
+            else Some(FusedSweep.ctxStreamRows(ctxGold.filter(!isRouted)))
+          val light = FusedSweep.gold(
+            deltas.filter(!isRouted), emptySilver(spark),
+            sliceBronze.filter(!isRouted), sessionGapSecs,
+            Some(tails.filter(!isRouted)), lightCtxStream)
+          if (routedIds.isEmpty) light
+          else {
+            // routed context comes from the same narrow gold read; the
+            // heavy path's dedup union additionally needs turn_idx and
+            // role, with text passed as null + text_len
+            val context = ctxGold
+              .select(col("conv_id"), col("turn_idx"), col("role"),
+                lit(null).cast("string").as("text"), col("tool"), col("ts"),
+                col("dt"), col("text_len"))
+              .filter(isRouted)
+            // ts-inverted conversations take the plain single-window
+            // session stage: SegmentedSessions chains per-segment
+            // summaries in turn order within TS-based segments, which
+            // an inversion crossing a segment boundary would corrupt.
+            // (Anomalies are few; heavy AND inverted prefers correct.)
+            val segIds = heavy.filterNot(inverted.contains)
+            val parts = Seq(
+              (segIds, true), (inverted, false)).filter(_._1.nonEmpty).map {
+              case (ids, segmented) =>
+                val in = col("conv_id").isin(ids: _*)
+                heavyGold(deltas.filter(in), context.filter(in),
+                  sliceBronze.filter(in), start, sessionGapSecs, segmentSecs,
+                  segmentedSessions = segmented)
             }
+            parts.foldLeft(light)((acc, h) =>
+              acc.unionByName(h.select(light.columns.map(col): _*)))
+          }
+        }
+
+        // optional range layout: contiguous (dt, conv) ranges per task
+        // give ~1 sorted file per task (instead of tasks x days) and
+        // compress better — worth the extra shuffle on real object
+        // storage; skipped by default where write bandwidth dominates
+        def layout(df: DataFrame): DataFrame =
+          if (rangeLayoutWrites)
+            df.repartitionByRange(col("dt"), col("conv_id"))
+              .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
+          else df
+
+        // ONE compute pass lands gold; lineage metrics are OBSERVED on
+        // the write itself (zero extra jobs), and the state delta
+        // derives from the WRITTEN gold files — compressed,
+        // column-pruned, partition-pruned narrow reads instead of a
+        // full-width in-memory cache. Round-2 profiling showed the
+        // cache write + spill + full-width cache reads were pure
+        // DRAM-bandwidth burn (the non-scaling resource on one host;
+        // on a real cluster, executor-local IO).
+        //
+        // Each slice writes into its OWN static `slice_id=` directory
+        // with a plain overwrite: same idempotent-replace semantics
+        // as dynamic partition overwrite, but without the staging
+        // protocol whose driver-side file moves grow with task count
+        // (round-2 probe: the write stage scaled at 0.43 under
+        // dynamic mode — commit renames are serial on the driver and
+        // 4N cores produce 4x the files). Default layout is FLAT
+        // inside the slice dir (dt stays a data column): probe showed
+        // partitionBy(dt) costs a hidden full-width per-task sort +
+        // multi-writer overhead that does not scale. Time pruning
+        // happens at slice granularity (slices ARE time ranges);
+        // `rangeLayoutWrites` produces the query-optimized daily
+        // layout (dt dirs + (dt, conv) clustering) when the table is
+        // served to downstream readers.
+        def writeSlice(df: DataFrame, base: String): Unit =
+          if (rangeLayoutWrites)
+            layout(df).write.mode(SaveMode.Overwrite)
+              .partitionBy("dt").parquet(s"$base/slice_id=$id")
+          else
+            df.write.mode(SaveMode.Overwrite).parquet(s"$base/slice_id=$id")
+
+        val lineageDays = {
+          val d0 = Math.floorDiv(start, 86400L)
+          val d1 = Math.floorDiv(end - 1, 86400L)
+          (d0 to d1).map(java.time.LocalDate.ofEpochDay)
+        }
+        // observe() fuses the per-dt lineage aggregates into the write
+        // job; for pathologically wide slices fall back to a separate
+        // narrow aggregate over the written files
+        val observeLineage = lineageDays.size <= 64
+
+        // unique observation name per attempt: the ts-inversion retry
+        // re-writes the slice, and a late listener event from the
+        // failed attempt must never satisfy the retry's waiter
+        var attempt = 0
+        def writeGoldObserved(df: DataFrame): Option[org.apache.spark.sql.Row] =
+          if (!observeLineage) { writeSlice(df, goldPath); None }
+          else {
+            attempt += 1
+            val name = s"lineage_${id}_a$attempt"
+            val exprs = Checkpoint.lineageObserveExprs(df, lineageDays)
+            val waiter = new MetricsWaiter(name)
+            spark.listenerManager.register(waiter)
+            try {
+              writeSlice(df.observe(name, exprs.head, exprs.tail: _*), goldPath)
+              waiter.await()
+            } finally spark.listenerManager.unregister(waiter)
           }
 
-          // optional range layout: contiguous (dt, conv) ranges per task
-          // give ~1 sorted file per task (instead of tasks x days) and
-          // compress better — worth the extra shuffle on real object
-          // storage; skipped by default where write bandwidth dominates
-          def layout(df: DataFrame): DataFrame =
-            if (rangeLayoutWrites)
-              df.repartitionByRange(col("dt"), col("conv_id"))
-                .sortWithinPartitions(col("dt"), col("conv_id"), col("turn_idx"))
-            else df
+        // The fused sweep asserts ts non-decreasing in turn_idx per
+        // conversation (the transcript contract). Real bronze can
+        // violate it (clock skew); rather than aborting the backfill,
+        // catch the violation, detect exactly the inverted
+        // conversations, and re-run the slice with them routed to the
+        // segmented heavy path — whose frame stage sorts by ts (value
+        // -correct under any turn/ts disagreement) and whose session
+        // stage is the declarative turn-ordered window. Zero cost on
+        // the contract-clean path.
+        val metrics = phase(id, "gold compute+write")(
+          try writeGoldObserved(buildGold(heavyIds, Nil))
+          catch {
+            case e: Throwable if isTsInversion(e) =>
+              val inverted = phase(id, "inversion detect")(
+                detectInvertedConvs(sliceBronze))
+              if (inverted.isEmpty) throw e
+              println(s"[backfill] $id: rerouting ${inverted.size} ts-inverted " +
+                s"conversation(s) off the fused sweep: ${inverted.take(5).mkString(", ")}" +
+                (if (inverted.size > 5) ", ..." else ""))
+              writeGoldObserved(buildGold(heavyIds, inverted))
+          })
 
-          // ONE compute pass lands gold; silver (a column projection),
-          // the state delta and lineage all derive from the WRITTEN
-          // gold files — compressed, column-pruned, partition-pruned
-          // reads instead of a full-width in-memory cache. Round-2
-          // profiling showed the cache write + spill + four full-width
-          // cache reads were pure DRAM-bandwidth burn (the non-scaling
-          // resource on one host; on a real cluster, executor-local IO).
-          //
-          // Each slice writes into its OWN static `slice_id=` directory
-          // with a plain overwrite: same idempotent-replace semantics
-          // as dynamic partition overwrite, but without the staging
-          // protocol whose driver-side file moves grow with task count
-          // (round-2 probe: the write stage scaled at 0.43 under
-          // dynamic mode — commit renames are serial on the driver and
-          // 4N cores produce 4x the files). Default layout is FLAT
-          // inside the slice dir (dt stays a data column): probe showed
-          // partitionBy(dt) costs a hidden full-width per-task sort +
-          // multi-writer overhead that does not scale. Time pruning
-          // happens at slice granularity (slices ARE time ranges);
-          // `rangeLayoutWrites` produces the query-optimized daily
-          // layout (dt dirs + (dt, conv) clustering) when the table is
-          // served to downstream readers.
-          def writeSlice(df: DataFrame, base: String): Unit =
-            if (rangeLayoutWrites)
-              layout(df).write.mode(SaveMode.Overwrite)
-                .partitionBy("dt").parquet(s"$base/slice_id=$id")
-            else
-              df.write.mode(SaveMode.Overwrite).parquet(s"$base/slice_id=$id")
+        if (failAfterGoldWriteOfSlice.contains(id))
+          throw new RuntimeException(s"injected failure after gold write of $id (test hook)")
 
-          // The fused sweep asserts ts non-decreasing in turn_idx per
-          // conversation (the transcript contract). Real bronze can
-          // violate it (clock skew); rather than aborting the backfill,
-          // catch the violation, detect exactly the inverted
-          // conversations, and re-run the slice with them routed to the
-          // segmented heavy path — whose frame stage sorts by ts (value
-          // -correct under any turn/ts disagreement) and whose session
-          // stage is the declarative turn-ordered window. Zero cost on
-          // the contract-clean path.
-          phase(id, "gold compute+write")(
-            try writeSlice(buildGold(heavyIds, Nil), goldPath)
-            catch {
-              case e: Throwable if isTsInversion(e) =>
-                val inverted = phase(id, "inversion detect")(
-                  detectInvertedConvs(sliceBronze))
-                if (inverted.isEmpty) throw e
-                println(s"[backfill] $id: rerouting ${inverted.size} ts-inverted " +
-                  s"conversation(s) off the fused sweep: ${inverted.take(5).mkString(", ")}" +
-                  (if (inverted.size > 5) ", ..." else ""))
-                writeSlice(buildGold(heavyIds, inverted), goldPath)
-            })
-
-          if (failAfterGoldWriteOfSlice.contains(id))
-            throw new RuntimeException(s"injected failure after gold write of $id (test hook)")
-
-          val goldWritten = spark.read.parquet(goldPath)
-            .filter(col("slice_id") === id)
+        def goldWritten = spark.read.schema(goldFileSchema).parquet(goldPath)
+          .filter(col("slice_id") === id)
+        if (materializeSilver)
           phase(id, "silver write")(writeSlice(goldWritten.select(silverCols.map(col): _*), silverPath))
 
-          // --- fused slice meta for later slices: state delta + frame
-          // tails, ONE aggregate + ONE write (only touched conversations)
-          phase(id, "slice meta")(Checkpoint.writeConvStateDelta(outDir, start,
-            Checkpoint.sliceMetaFromGold(goldWritten, heavyIds)))
-
-          // --- lineage, then the committing watermark row (atomic last) ---
-          val wallMs = (System.nanoTime() - t0) / 1000000L
-          val (rows, hw) = phase(id, "lineage")(Checkpoint.appendLineage(outDir, goldWritten, id, wallMs))
-          Checkpoint.commitSlice(spark, outDir, id,
-            new Timestamp(start * 1000L), new Timestamp(end * 1000L), hw, rows)
-          if (compactStateEvery > 0 && (i + 1) % compactStateEvery == 0)
-            Checkpoint.compactConvState(spark, outDir, start)
-          SliceReport(id, rows, wallMs, skipped = false)
+        // --- lineage: from the observed write metrics (no extra job),
+        // or the legacy aggregate over the written files ---
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        val (rows, hw) = metrics match {
+          case Some(m) =>
+            Checkpoint.writeLineageFromMetrics(spark, outDir, id, lineageDays, m, wallMs)
+          case None =>
+            phase(id, "lineage")(Checkpoint.appendLineage(outDir, goldWritten, id, wallMs))
         }
+
+        // --- slice meta for later slices: state delta (+ frame tails
+        // under the tails strategy), ONE aggregate + ONE write over
+        // narrow columns of the written slice (empty slices write no
+        // delta — the chain simply has no entry)
+        if (rows > 0L)
+          phase(id, "slice meta")(Checkpoint.writeConvStateDelta(outDir, start,
+            if (useTails) Checkpoint.sliceMetaFromGold(goldWritten, end, MaxLookbackSecs)
+            else Checkpoint.stateDeltaFromGold(goldWritten)))
+
+        // --- the committing watermark row (atomic last) ---
+        Checkpoint.commitSlice(spark, outDir, id,
+          new Timestamp(start * 1000L), new Timestamp(end * 1000L), hw, rows)
+        val periodic = compactStateEvery > 0 && (i + 1) % compactStateEvery == 0
+        if (periodic ||
+            Checkpoint.uncompactedDeltaDirs(spark, outDir, start + 1) > MaxStateChain)
+          phase(id, "state compaction")(Checkpoint.compactConvState(spark, outDir, start))
+        SliceReport(id, rows, wallMs, skipped = false)
       }
     }
     reports
+  }
+
+  /** The silver layer, served as a projection of the gold files (gold
+    * = silver columns + feature columns over the identical row set —
+    * same dedup, same ordering). Zero duplicate storage; see
+    * `materializeSilver` on [[run]] for the physical-copy option.
+    */
+  def readSilver(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/gold")
+      .select(TranscriptSchema.silver.fieldNames.map(col).toSeq :+ col("slice_id"): _*)
+
+  /** Waits for the observed lineage metrics of a write to land on the
+    * listener bus. A fresh instance per write attempt (the ts-inversion
+    * retry re-observes under the same name).
+    */
+  private final class MetricsWaiter(name: String)
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val latch = new java.util.concurrent.CountDownLatch(1)
+    @volatile private var row: Option[org.apache.spark.sql.Row] = None
+    private def grab(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+      qe.observedMetrics.get(name).foreach { r =>
+        row = Some(r); latch.countDown()
+      }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = grab(qe)
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = grab(qe)
+    /** Blocks until the metrics arrive (bounded; the write action has
+      * already succeeded when this is called, so the only wait is the
+      * async listener bus).
+      */
+    def await(): Option[org.apache.spark.sql.Row] = {
+      if (!latch.await(120, java.util.concurrent.TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          s"observed metrics '$name' did not arrive within 120s of the write")
+      row
+    }
   }
 
   /** LATE-DATA QUEUE (SURVEY §2.10): a bronze row whose ts falls in an
@@ -356,8 +485,25 @@ object Backfill {
     val inCommitted = v
       .withColumn("late_slice_start", sliceStart)
       .filter(concat(lit("s"), col("late_slice_start")).isin(committedIds.toSeq: _*))
-    val silverKeys = spark.read.parquet(s"$outDir/silver")
-      .select(col("conv_id"), col("turn_idx"))
+    // committed keys come from the gold files (silver is a projection
+    // of gold — [[readSilver]]); guard the path: a table whose every
+    // committed slice was empty has no gold dir at all
+    val goldP = s"$outDir/gold"
+    val silverKeys =
+      if (Checkpoint.pathExists(spark, goldP))
+        spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("conv_id",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("turn_idx",
+            org.apache.spark.sql.types.IntegerType, nullable = true))))
+          .parquet(goldP).select(col("conv_id"), col("turn_idx"))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("conv_id",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("turn_idx",
+            org.apache.spark.sql.types.IntegerType, nullable = true))))
     val late = inCommitted.join(silverKeys, Seq("conv_id", "turn_idx"), "left_anti")
       .select(TranscriptSchema.silver.fieldNames.filterNot(_ == "dt").map(col) :+
         col("late_slice_start"): _*)
@@ -388,12 +534,15 @@ object Backfill {
       skewHeavyThreshold: Option[Long] = None,
       rangeLayoutWrites: Boolean = false,
       compactStateEvery: Int = 16,
-      segmentSecs: Long = 604800L): Seq[SliceReport] = {
+      segmentSecs: Long = 604800L,
+      contextStrategy: String = "auto",
+      materializeSilver: Boolean = false): Seq[SliceReport] = {
     val latePath = s"$outDir/_late"
     val runAll = () => run(spark, bronze, outDir, firstStartSec, sliceSecs, nSlices,
       sessionGapSecs = sessionGapSecs, skewHeavyThreshold = skewHeavyThreshold,
       rangeLayoutWrites = rangeLayoutWrites, compactStateEvery = compactStateEvery,
-      segmentSecs = segmentSecs)
+      segmentSecs = segmentSecs, contextStrategy = contextStrategy,
+      materializeSilver = materializeSilver)
     if (!Checkpoint.pathExists(spark, latePath)) return runAll()
     // the partition-dir value reads back as the narrowest fitting
     // integral type — normalize to long
@@ -473,8 +622,11 @@ object Backfill {
     // silver (specs, single-shot use) — normalize the frame length.
     val hasLen = context.columns.contains("text_len")
     val ctx = context.drop("dt")
+    // fall through to length(text) when text_len is null (raw-silver
+    // context in specs; pre-upgrade gold slices are rejected loudly at
+    // run start, so a null-null pair cannot silently zero the lengths)
     val ctxLen =
-      if (hasLen) coalesce(col("text_len"), lit(0L))
+      if (hasLen) coalesce(col("text_len"), length(col("text")).cast("long"), lit(0L))
       else coalesce(length(col("text")).cast("long"), lit(0L))
     val both = FusedSweep.contextRows(ctx.drop("text_len"))
       .unionByName(FusedSweep.bronzeRows(bronzeNew))
@@ -542,7 +694,12 @@ object Backfill {
         .drop("slice_id")
     } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(TranscriptSchema.silver.fields))
+      // the empty fallback mirrors the requested file schema (minus the
+      // slice_id partition column) so first-slice plans resolve the
+      // same columns (e.g. text_len) as later slices
+      org.apache.spark.sql.types.StructType(
+        schema.map(_.fields.filterNot(_.name == "slice_id"))
+          .getOrElse(TranscriptSchema.silver.fields)))
 
   /** lag/gap/session over a slice via ONE window per conversation,
     * seeded by the previous slice's per-conversation state — exact

@@ -18,9 +18,15 @@ import graft.sources.TranscriptSource
   *   --slices   30                            (number of slices)
   *   [--format parquet|json]                  (default parquet)
   *   [--session-gap-secs 1800]
-  *   [--skew-threshold 2000000]               (turns/conversation -> segmented path)
+  *   [--skew-threshold 2000000]               (per-slice rows or lookback events per
+  *                                             conversation -> segmented heavy path)
   *   [--segment-secs 604800]
   *   [--compact-every 16]
+  *   [--context auto|tails|rescan]            (lookback frame context strategy;
+  *                                             auto = tails iff lookback >= 2x slice)
+  *   [--materialize-silver]                   (also write a physical silver/ copy;
+  *                                             by default silver is served as a
+  *                                             projection of the gold files)
   *   [--range-layout]                         (range-partitioned sorted output files)
   *   [--late-policy ignore|collect|reprocess] (rows landing in committed slices:
   *                                             queue to <out>/_late / recompute)
@@ -43,7 +49,9 @@ object BackfillCli {
       segmentSecs: Long = 604800L,
       compactEvery: Int = 16,
       rangeLayout: Boolean = false,
-      latePolicy: String = "ignore")
+      latePolicy: String = "ignore",
+      context: String = "auto",
+      materializeSilver: Boolean = false)
 
   private[graft] def parseEpoch(s: String): Long =
     try java.time.Instant.parse(s).getEpochSecond
@@ -76,6 +84,8 @@ object BackfillCli {
       case "--compact-every" :: v :: t    => loop(t, a.copy(compactEvery = v.toInt))
       case "--range-layout" :: t          => loop(t, a.copy(rangeLayout = true))
       case "--late-policy" :: v :: t      => loop(t, a.copy(latePolicy = v))
+      case "--context" :: v :: t          => loop(t, a.copy(context = v))
+      case "--materialize-silver" :: t    => loop(t, a.copy(materializeSilver = true))
       case Nil                            => a
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown or incomplete argument: $other")
@@ -88,6 +98,8 @@ object BackfillCli {
     require(a.sliceSecs > 0, "--slice-secs must be positive")
     require(Set("ignore", "collect", "reprocess")(a.latePolicy),
       "--late-policy must be ignore|collect|reprocess")
+    require(Set("auto", "tails", "rescan")(a.context),
+      "--context must be auto|tails|rescan")
     a
   }
 
@@ -116,12 +128,14 @@ object BackfillCli {
         Backfill.reprocessLate(spark, bronze, a.out, a.startSec, a.sliceSecs, a.nSlices,
           sessionGapSecs = a.sessionGapSecs, skewHeavyThreshold = a.skewThreshold,
           rangeLayoutWrites = a.rangeLayout, compactStateEvery = a.compactEvery,
-          segmentSecs = a.segmentSecs)
+          segmentSecs = a.segmentSecs, contextStrategy = a.context,
+          materializeSilver = a.materializeSilver)
       else
         Backfill.run(spark, bronze, a.out, a.startSec, a.sliceSecs, a.nSlices,
           sessionGapSecs = a.sessionGapSecs, skewHeavyThreshold = a.skewThreshold,
           rangeLayoutWrites = a.rangeLayout, compactStateEvery = a.compactEvery,
-          segmentSecs = a.segmentSecs)
+          segmentSecs = a.segmentSecs, contextStrategy = a.context,
+          materializeSilver = a.materializeSilver)
     reports.foreach { r =>
       println(s"[backfill] ${r.sliceId} rows=${r.rows} wallMs=${r.wallMs}" +
         (if (r.skipped) " (skipped: already committed)" else ""))

@@ -60,6 +60,12 @@ object Bench {
     // 128 MB splits give the same effect for free)
     .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
     .config("spark.ui.enabled", "false")
+    // dev forensics: SPARK_GRAFT_EVENT_LOG=<dir> dumps Spark event logs
+    // for stage-level analysis of bench runs
+    sys.env.get("SPARK_GRAFT_EVENT_LOG").foreach { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      b.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", dir)
+    }
     workBase.foreach(base => b.config("spark.local.dir", s"$base/spark-local"))
     b.getOrCreate()
   }
@@ -90,15 +96,30 @@ object Bench {
 
   /** The headline backfill: 4 slices of 10 days (span covers the
     * generator's 30-day stagger + conversation tails), skew dispatch on.
+    * SPARK_GRAFT_SKEW_THRESHOLD / SPARK_GRAFT_SEGMENT_SECS are dev A/B
+    * knobs (phase forensics); the committed defaults are the benched
+    * configuration.
     */
   def runBackfill(spark: SparkSession, bronzeDir: String, outDir: String): Seq[Backfill.SliceReport] =
     Backfill.run(spark, spark.read.parquet(bronzeDir), outDir,
       firstStartSec = 1704067200L, sliceSecs = 10L * 86400, nSlices = 4,
-      skewHeavyThreshold = Some(50000L),
-      // 3.5-day segments: a 2M-turn mega runs ~6 parallel tasks per
+      // per-slice dispatch threshold at the measured crossover: the
+      // 2M-turn planted megas bring ~600-860k turns per 10-day slice,
+      // which the plain fused sweep clears in well under a second of
+      // straggler time, while the segmented machinery costs ~6 s of
+      // fixed overhead per slice (round-4 phase forensics: routing the
+      // megas made the whole backfill 55 s vs 40 s). The heavy path's
+      // own win is evidenced separately on a denser planted
+      // conversation (docs/NEXT.md skew micro-bench).
+      skewHeavyThreshold = sys.env.get("SPARK_GRAFT_SKEW_THRESHOLD") match {
+        case Some("off") => None
+        case Some(v) => Some(v.toLong)
+        case None => Some(2000000L)
+      },
+      // 3.5-day segments: a routed mega runs ~6 parallel tasks per
       // slice in the chunked sweep/session stages (7d segments gave 2)
       // at a bounded 3x replication of heavy rows
-      segmentSecs = 302400L)
+      segmentSecs = sys.env.get("SPARK_GRAFT_SEGMENT_SECS").map(_.toLong).getOrElse(302400L))
 
   /** As-of benchmark: one query per 10th turn at ts+60s vs the full
     * gold history.

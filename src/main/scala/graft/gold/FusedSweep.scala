@@ -71,6 +71,13 @@ object FusedSweep {
   private val T_LEN = 4
   private val T_TOOL = 5
 
+  // the scalar-context side-stream's schema (one row per committed
+  // lookback event, pre-narrowed: no text, ts already in epoch seconds)
+  private val C_CONV = 0
+  private val C_T = 1
+  private val C_LEN = 2
+  private val C_TOOL = 3
+
   /** State pseudo-rows from the delta chain (slice_start becomes the
     * `_seq` tiebreaker: the latest delta per conversation wins).
     */
@@ -131,6 +138,36 @@ object FusedSweep {
         StructField("tail_len", ArrayType(LongType, containsNull = false)),
         StructField("tail_tool", ArrayType(StringType, containsNull = true)))))
 
+  /** The scalar-context SIDE-STREAM (rescan strategy,
+    * [[graft.Backfill]] `contextStrategy = "rescan"`): one narrow row
+    * per committed lookback event, read straight from the written gold
+    * table (conv_id + ts + the persisted text_len + tool — parquet
+    * column pruning keeps the dominant text column untouched). Like
+    * the frame tails, these rows seed the sliding frames ONLY — the
+    * lag chain / session counter / dedup horizon ride the state rows —
+    * so they are kept OFF the big exchange: they shuffle separately
+    * (4 narrow columns instead of widening every data row) with the
+    * same explicit HashPartitioning(conv_id, n) and merge into the
+    * sweep via zipPartitions, sorted by (conv_id, t).
+    */
+  private[graft] def ctxStreamRows(context: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.unix_timestamp
+    context.select(
+      col("conv_id"),
+      unix_timestamp(col("ts")).as("t"),
+      coalesce(col("text_len"), lit(0L)).as("len"),
+      col("tool"))
+  }
+
+  private[graft] def emptyCtxStream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("conv_id", StringType, nullable = false),
+        StructField("t", LongType, nullable = false),
+        StructField("len", LongType, nullable = false),
+        StructField("tool", StringType, nullable = true))))
+
   /** Gold output schema: silver columns + dt + the eight feature
     * columns, preserving the input's timestamp flavor (ntz/tz).
     */
@@ -160,7 +197,8 @@ object FusedSweep {
       context: DataFrame,
       bronze: DataFrame,
       gapSecs: Long = TranscriptSchema.DefaultSessionGapSecs,
-      tails: Option[DataFrame] = None): DataFrame = {
+      tails: Option[DataFrame] = None,
+      ctxStream: Option[DataFrame] = None): DataFrame = {
     val spark = bronze.sparkSession
     val tsType = bronze.schema("ts").dataType
     val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -181,12 +219,18 @@ object FusedSweep {
       .repartition(numParts, col("conv_id"))
       .sortWithinPartitions(col("conv_id"), col("_seq"), col("chunk"))
 
+    val ctxSorted = ctxStream.getOrElse(emptyCtxStream(spark))
+      .repartition(numParts, col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("t"))
+
     val outSchema = goldSchema(tsType)
     val gap = gapSecs
 
     val rdd = GraftInternalAccess.toInternalRdd(sorted.toDF())
-      .zipPartitions(GraftInternalAccess.toInternalRdd(tailSorted.toDF())) {
-        (data, tl) => new SweepIterator(data, tl, gap)
+      .zipPartitions(
+        GraftInternalAccess.toInternalRdd(tailSorted.toDF()),
+        GraftInternalAccess.toInternalRdd(ctxSorted.toDF())) {
+        (data, tl, cx) => new SweepIterator(data, tl, cx, gap)
       }
     GraftInternalAccess.internalCreateDataFrame(spark, rdd, outSchema)
   }
@@ -211,13 +255,15 @@ object FusedSweep {
     * until its last member has been seen.
     */
   private final class SweepIterator(
-      in: Iterator[InternalRow], tails: Iterator[InternalRow], gapSecs: Long)
+      in: Iterator[InternalRow], tails: Iterator[InternalRow],
+      ctx: Iterator[InternalRow], gapSecs: Long)
       extends Iterator[InternalRow] {
 
-    // single-row lookahead into the (conv-sorted) tail side-stream;
+    // single-row lookahead into the (conv-sorted) side-streams;
     // always a private copy (UnsafeRow buffers are reused by the
-    // underlying iterator)
+    // underlying iterators)
     private var tailLookahead: InternalRow = _
+    private var ctxLookahead: InternalRow = _
     private var tailsDrained = false
 
     private def nextTail(): InternalRow =
@@ -225,22 +271,87 @@ object FusedSweep {
       else if (tails.hasNext) tails.next()
       else null
 
-    /** Apply every tail row of `conv` to the frames; called once per
-      * conversation, after its state rows and before its first data
-      * row. Rows of earlier conversations (state-only, inactive this
-      * slice) are skipped; the first row of a later conversation is
-      * pushed back. Both streams sort conv_id with the same binary
-      * UTF8String ordering, so a single forward merge suffices.
+    private def nextCtx(): InternalRow =
+      if (ctxLookahead != null) { val t = ctxLookahead; ctxLookahead = null; t }
+      else if (ctx.hasNext) ctx.next()
+      else null
+
+    // merged side-stream entry buffer of the current conversation —
+    // collected, ts-sorted if needed (multi-chunk tails of a
+    // ts-inverted conversation concatenate out of order: chunk order
+    // follows turn_idx, not ts), then fed to the frames in one pass
+    private val sideTs = mutable.ArrayBuffer[Long]()
+    private val sideLen = mutable.ArrayBuffer[Long]()
+    private val sideTool = mutable.ArrayBuffer[String]()
+    private var sideSorted = true
+
+    private def bufferEntry(t: Long, l: Long, tool: String): Unit = {
+      if (sideTs.nonEmpty && t < sideTs(sideTs.length - 1)) sideSorted = false
+      sideTs += t; sideLen += l; sideTool += tool
+    }
+
+    /** Apply every tail/context row of `conv` to the frames; called
+      * once per conversation, after its state rows and before its
+      * first data row. Rows of earlier conversations (state-only,
+      * inactive this slice) are skipped; the first row of a later
+      * conversation is pushed back. All streams sort conv_id with the
+      * same binary UTF8String ordering, so a single forward merge
+      * suffices.
       */
     private def drainTails(conv: UTF8String): Unit = {
+      sideTs.clear(); sideLen.clear(); sideTool.clear(); sideSorted = true
       var t = nextTail()
       while (t != null) {
-        val c = t.getUTF8String(T_CONV)
-        val cmp = c.compareTo(conv)
-        if (cmp > 0) { tailLookahead = t.copy(); return }
-        if (cmp == 0) processTail(t)
-        t = nextTail()
+        val cmp = t.getUTF8String(T_CONV).compareTo(conv)
+        if (cmp > 0) { tailLookahead = t.copy(); t = null }
+        else { if (cmp == 0) bufferTail(t); t = nextTail() }
       }
+      var c = nextCtx()
+      while (c != null) {
+        val cmp = c.getUTF8String(C_CONV).compareTo(conv)
+        if (cmp > 0) { ctxLookahead = c.copy(); c = null }
+        else {
+          if (cmp == 0) {
+            if (!sawState)
+              throw new IllegalStateException(
+                "fused sweep: scalar context without carried state for conversation " +
+                  s"$curConv — context seeds frames only; pass the state delta chain")
+            bufferEntry(c.getLong(C_T), c.getLong(C_LEN),
+              if (c.isNullAt(C_TOOL)) null else c.getUTF8String(C_TOOL).toString)
+          }
+          c = nextCtx()
+        }
+      }
+      feedSide()
+    }
+
+    /** Feed the buffered side entries to the frames in ts order. */
+    private def feedSide(): Unit = {
+      if (sideTs.isEmpty) return
+      val n = sideTs.length
+      var order: Array[Int] = null
+      if (!sideSorted) {
+        order = Array.range(0, n)
+        // ts-inverted conversations only: restore value order so the
+        // frames see a valid timeline (stable for equal ts)
+        order = order.sortBy(sideTs(_))
+      }
+      var i = 0
+      while (i < n) {
+        val j = if (order == null) i else order(i)
+        val t = sideTs(j)
+        if (hasPrevData && t < prevDataTsSec)
+          throw new IllegalStateException(
+            "fused sweep precondition violated: ts decreases within conversation " +
+              s"$curConv in side-stream context ($t < $prevDataTsSec)")
+        f1h.add(t, sideLen(j), sideTool(j))
+        f24h.add(t, sideLen(j), sideTool(j))
+        f7d.add(t, sideLen(j), sideTool(j))
+        prevDataTsSec = t
+        hasPrevData = true
+        i += 1
+      }
+      sideTs.clear(); sideLen.clear(); sideTool.clear(); sideSorted = true
     }
 
     private val f1h = new FrameQ(3600L)
@@ -336,13 +447,13 @@ object FusedSweep {
       hasPrevData = true
     }
 
-    /** Feed one frame-tail row: every (ts, len, tool) entry enters the
-      * sliding frames in ts order. The lag chain and the session
-      * counter are NOT touched — the state rows carry them
-      * (st_last_ts/role/sessions equal the last committed event's, so
-      * the values the old raw-context path would have left behind).
+    /** Buffer one frame-tail row's (ts, len, tool) entries. The lag
+      * chain and the session counter are NOT touched — the state rows
+      * carry them (st_last_ts/role/sessions equal the last committed
+      * event's, so the values the old raw-context path would have
+      * left behind).
       */
-    private def processTail(r: InternalRow): Unit = {
+    private def bufferTail(r: InternalRow): Unit = {
       if (!sawState)
         throw new IllegalStateException(
           "fused sweep: frame-tail context without carried state for conversation " +
@@ -353,16 +464,8 @@ object FusedSweep {
       var i = 0
       val n = tsArr.numElements()
       while (i < n) {
-        val t = tsArr.getLong(i)
-        if (hasPrevData && t < prevDataTsSec)
-          throw new IllegalStateException(
-            "fused sweep precondition violated: ts decreases within conversation " +
-              s"$curConv in frame-tail context ($t < $prevDataTsSec)")
-        val tl = if (toolArr.isNullAt(i)) null else toolArr.getUTF8String(i).toString
-        val l = lenArr.getLong(i)
-        f1h.add(t, l, tl); f24h.add(t, l, tl); f7d.add(t, l, tl)
-        prevDataTsSec = t
-        hasPrevData = true
+        bufferEntry(tsArr.getLong(i), lenArr.getLong(i),
+          if (toolArr.isNullAt(i)) null else toolArr.getUTF8String(i).toString)
         i += 1
       }
     }

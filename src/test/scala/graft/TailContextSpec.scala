@@ -83,7 +83,7 @@ class TailContextSpec extends AnyFunSuite {
   test("frame-tail read prunes slice_start partitions and carries sorted arrays") {
     val bronze = TranscriptGen.transcripts(spark, nConvs = 10, avgTurns = 15)
     val dir = Files.createTempDirectory("bf_tails").toString
-    Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
+    Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices, contextStrategy = "tails")
     val lastStart = start + (nSlices - 1) * sliceSecs
     val tails = Checkpoint.readFrameTails(spark, dir, lastStart, sliceSecs, 604800L)
     val plan = tails.queryExecution.executedPlan.toString
@@ -102,7 +102,7 @@ class TailContextSpec extends AnyFunSuite {
   test("light path consumes tails, not raw silver (context scan only for routed ids)") {
     val bronze = TranscriptGen.transcripts(spark, nConvs = 10, avgTurns = 15)
     val dir = Files.createTempDirectory("bf_noctx").toString
-    Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
+    Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices, contextStrategy = "tails")
     // the fused plan over (state, empty context, bronze, tails) must not
     // touch the silver table
     val deltas = Checkpoint.readConvStateDeltas(spark, dir, start + sliceSecs)
@@ -124,5 +124,64 @@ class TailContextSpec extends AnyFunSuite {
     val tailPlan = FusedSweep.tailStream(tails).queryExecution.executedPlan.toString
     assert(tailPlan.contains("conv_state") && !tailPlan.contains("/silver"),
       tailPlan.take(4000))
+  }
+
+  test("rescan and tails strategies are bit-equal to the single-shot run") {
+    val bronze = TranscriptGen.transcripts(spark, nConvs = 25, avgTurns = 18,
+      injectAnomalies = true).cache()
+    val oracle = FeatureWindows.gold(SilverBuilder.build(bronze))
+    for (strategy <- Seq("rescan", "tails")) {
+      val dir = Files.createTempDirectory(s"bf_$strategy").toString
+      Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices, contextStrategy = strategy)
+      assertSame(spark.read.parquet(s"$dir/gold"), oracle)
+    }
+  }
+
+  test("auto strategy picks rescan for wide slices: state deltas carry no tail arrays") {
+    // 8-day slices vs 7-day lookback -> rescan; the state delta is the
+    // narrow max_by aggregate with null tail columns
+    val bronze = TranscriptGen.transcripts(spark, nConvs = 10, avgTurns = 15)
+    val dir = Files.createTempDirectory("bf_auto").toString
+    Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
+    assert(Checkpoint.readConvStateDeltas(spark, dir, start + nSlices * sliceSecs).count() > 0)
+    assert(Checkpoint.readFrameTails(spark, dir, start + (nSlices - 1) * sliceSecs,
+      sliceSecs, 604800L).count() == 0,
+      "auto at lookback < 2x slice width must not materialize tails")
+    // and narrow slices flip it: 2-day slices -> tails (20 slices
+    // cover the same 40-day span as the 8-day runs)
+    val dir2 = Files.createTempDirectory("bf_auto2").toString
+    Backfill.run(spark, bronze, dir2, start, 2L * 86400, 20)
+    assert(Checkpoint.readFrameTails(spark, dir2, start + 10 * 2L * 86400,
+      2L * 86400, 604800L).count() > 0,
+      "auto at lookback >= 2x slice width must materialize tails")
+    assertSame(spark.read.parquet(s"$dir2/gold"),
+      FeatureWindows.gold(SilverBuilder.build(bronze)))
+  }
+
+  test("a conversation heavy in one slice returns to the light path with correct frames") {
+    // per-slice dispatch: heavy_x brings > thr rows in slice 1 only
+    // (700 > 500); at slice 2 just 400 of them remain inside the 7d
+    // lookback (< 500), so it returns to the light path — whose frames
+    // must still see those 400 committed events (tails are collected
+    // for routed conversations too)
+    val dense = (0 until 700).map { i =>
+      val sec =
+        if (i < 300) start + 3600L + i * 60L // first 6h: out of slice-2 lookback
+        else start + 86400L + (i - 300) * 60L // day 2: inside slice-2 lookback
+      ("heavy_x", i, if (i % 3 == 0) "user" else "assistant", s"turn number $i words",
+        if (i % 7 == 0) Some(s"tool_${i % 4}") else None, sec)
+    }
+    val lightTail = (700 until 710).map(i =>
+      ("heavy_x", i, "assistant", s"late turn $i", None, start + sliceSecs + 3600L + (i - 700) * 30L))
+    val bronze = TranscriptGen.transcripts(spark, nConvs = 12, avgTurns = 10)
+      .unionByName(rows(dense ++ lightTail)).cache()
+    val oracle = FeatureWindows.gold(SilverBuilder.build(bronze))
+    for (strategy <- Seq("tails", "rescan")) {
+      val dir = Files.createTempDirectory(s"bf_exheavy_$strategy").toString
+      Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices,
+        skewHeavyThreshold = Some(500L), segmentSecs = 2L * 86400,
+        contextStrategy = strategy)
+      assertSame(spark.read.parquet(s"$dir/gold"), oracle)
+    }
   }
 }
