@@ -18,7 +18,7 @@ import graft.sources.TranscriptSource
   *   --slices   30                            (number of slices)
   *   [--format parquet|json]                  (default parquet)
   *   [--session-gap-secs 1800]
-  *   [--skew-threshold 2000000]               (per-slice rows or lookback events per
+  *   [--skew-threshold 10000000]              (per-slice rows or lookback events per
   *                                             conversation -> segmented heavy path)
   *   [--segment-secs 604800]
   *   [--compact-every 16]
@@ -45,7 +45,7 @@ object BackfillCli {
       nSlices: Int = -1,
       format: String = "parquet",
       sessionGapSecs: Long = 1800L,
-      skewThreshold: Option[Long] = Some(2000000L),
+      skewThreshold: Option[Long] = Some(10000000L),
       segmentSecs: Long = 604800L,
       compactEvery: Int = 16,
       rangeLayout: Boolean = false,

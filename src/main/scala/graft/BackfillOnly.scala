@@ -50,7 +50,7 @@ object BackfillOnly {
       Thread.sleep(300)
       println(f"[ab] jobs: ${jobNanos.get() / 1e9}%.2f s in-job, ${w - jobNanos.get() / 1e9}%.2f s outside")
       val t1 = System.nanoTime()
-      val asofRows = Bench.runAsOf(spark, s"$out/gold")
+      val asofRows = Bench.runAsOf(spark, out)
       val asofW = (System.nanoTime() - t1) / 1e9
       rm(out)
       println(f"[ab] run $i: $w%.2f s  (asof $asofW%.2f s, $asofRows rows)")

@@ -103,18 +103,18 @@ object Bench {
   def runBackfill(spark: SparkSession, bronzeDir: String, outDir: String): Seq[Backfill.SliceReport] =
     Backfill.run(spark, spark.read.parquet(bronzeDir), outDir,
       firstStartSec = 1704067200L, sliceSecs = 10L * 86400, nSlices = 4,
-      // per-slice dispatch threshold at the measured crossover: the
-      // 2M-turn planted megas bring ~600-860k turns per 10-day slice,
-      // which the plain fused sweep clears in well under a second of
-      // straggler time, while the segmented machinery costs ~6 s of
-      // fixed overhead per slice (round-4 phase forensics: routing the
-      // megas made the whole backfill 55 s vs 40 s). The heavy path's
-      // own win is evidenced separately on a denser planted
-      // conversation (docs/NEXT.md skew micro-bench).
+      // per-slice dispatch threshold at the measured crossover
+      // (SkewProbe, 2x-lookback segments): plain sweep vs segmented
+      // heavy path = 8.1/22.0 s at 1M turns-per-slice, 20.7/32.1 at
+      // 4M, 35.8/47.3 at 8M, 75.3/62.5 at 16M — the segmented form
+      // pays above ~10^7, same crossover as the as-of dispatch. The
+      // 2M-turn planted megas bring ~600-860k turns per 10-day slice
+      // and stay on the plain sweep (round-4 phase forensics: routing
+      // them cost ~6 s/slice of fixed overhead, 55 s vs 40 s whole-run).
       skewHeavyThreshold = sys.env.get("SPARK_GRAFT_SKEW_THRESHOLD") match {
         case Some("off") => None
         case Some(v) => Some(v.toLong)
-        case None => Some(2000000L)
+        case None => Some(10000000L)
       },
       // 3.5-day segments: a routed mega runs ~6 parallel tasks per
       // slice in the chunked sweep/session stages (7d segments gave 2)
@@ -122,18 +122,25 @@ object Bench {
       segmentSecs = sys.env.get("SPARK_GRAFT_SEGMENT_SECS").map(_.toLong).getOrElse(302400L))
 
   /** As-of benchmark: one query per 10th turn at ts+60s vs the full
-    * gold history.
+    * gold history, through the PRODUCTION dispatching entry point
+    * ([[AsOfJoin.asOfAuto]]). Per-conversation sizes come from the
+    * backfill's checkpoint state (st_last_turn_idx + 1 = history
+    * rows), so the dispatch reads O(conversations) metadata instead
+    * of re-counting the history: a 2M-turn mega stays on the plain
+    * union+window form (a single ~0.5 s running-`last` task — the
+    * measured crossover to the segmented form is ~10^7 turns per
+    * conversation).
     */
-  def runAsOf(spark: SparkSession, goldDir: String): Long = {
-    val gold = spark.read.parquet(goldDir).drop("slice_id")
+  def runAsOf(spark: SparkSession, outDir: String): Long = {
+    val gold = spark.read.parquet(s"$outDir/gold").drop("slice_id")
     val queries = gold.filter(pmod(col("turn_idx"), lit(10)) === 3)
       .select(col("conv_id"), (col("ts") + expr("INTERVAL 60 SECONDS")).as("ts"))
-    // plain union+window as-of: a running `last` over a 2M-turn
-    // mega-conversation is a single ~0.5 s task — segmentation
-    // (asOfSegmented) only pays above ~10^7 turns per conversation,
-    // where its per-(conv, segment) summary overhead amortizes
-    AsOfJoin.asOf(queries, gold,
-      Seq("turn_idx", "turns_cnt_1h", "chars_sum_1h", "tool_distinct_24h", "session_id")).count()
+    val sizes = graft.meta.Checkpoint.latestConvState(
+      graft.meta.Checkpoint.readConvStateDeltas(spark, outDir, Long.MaxValue))
+      .select(col("conv_id"), (col("st_last_turn_idx") + 1L).as("count"))
+    AsOfJoin.asOfAuto(queries, gold,
+      Seq("turn_idx", "turns_cnt_1h", "chars_sum_1h", "tool_distinct_24h", "session_id"),
+      convSizes = Some(sizes)).count()
   }
 
   def main(args: Array[String]): Unit = {
@@ -179,7 +186,7 @@ object Bench {
     val (reports, backfillSecs) = time(runBackfill(spark, bronzeDir, outDir))
     val goldRows = reports.map(_.rows).sum
     results("backfill_gold") = backfillSecs
-    val (asofRows, asofSecs) = time(runAsOf(spark, s"$outDir/gold"))
+    val (asofRows, asofSecs) = time(runAsOf(spark, outDir))
     results("asof_join") = asofSecs
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

@@ -99,7 +99,7 @@ object ScalingBench {
     val reports = Bench.runBackfill(spark, bronzeDir, outDir)
     val backfillSecs = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val asofRows = Bench.runAsOf(spark, s"$outDir/gold")
+    val asofRows = Bench.runAsOf(spark, outDir)
     val asofSecs = (System.nanoTime() - t1) / 1e9
     // per-stage, per-partition throughput from the lineage table
     val lin = graft.meta.Checkpoint.readLineage(spark, outDir)

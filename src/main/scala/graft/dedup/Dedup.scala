@@ -25,6 +25,26 @@ object Dedup {
 
   private def norm(text: Column): Column = lower(trim(text))
 
+  // every DataFrame this module persists, so sessions cycling many
+  // corpora can release exactly these entries without nuking unrelated
+  // cache entries via spark.catalog.clearCache()
+  private val cached = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def registerCache(df: DataFrame): DataFrame = {
+    cached.add(df); df
+  }
+
+  /** Unpersist every intermediate this module cached (shingle sets,
+    * prefix indexes). Call after the final action on a returned
+    * DataFrame; results already materialized stay valid, but
+    * re-computing an un-materialized result after release re-runs the
+    * shingling.
+    */
+  def releaseCaches(): Unit = {
+    var df = cached.poll()
+    while (df != null) { df.unpersist(); df = cached.poll() }
+  }
+
   /** Exact dedup: canonical doc = min id among byte-identical
     * (normalized) texts.
     */
@@ -76,17 +96,18 @@ object Dedup {
     * into O(tokens^2) (measured 15-25x the whole-query cost). The
     * cache boundary stops both: pushed filters evaluate against the
     * materialized `sh` column. Spark ML's MinHashLSH does the same.
-    * Long-lived sessions cycling many corpora can reclaim with
-    * `spark.catalog.clearCache()` — identical inputs share one entry
-    * (CacheManager dedups by logical plan).
+    * Long-lived sessions cycling many corpora reclaim with
+    * [[releaseCaches]] (exactly this module's entries) or
+    * `spark.catalog.clearCache()` (everything) — identical inputs
+    * share one entry (CacheManager dedups by logical plan).
     */
   private[graft] def hashedShingleSets(
       docs: DataFrame,
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    hashedShingleSetsLazy(docs, n, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    registerCache(hashedShingleSetsLazy(docs, n, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK))
 
   /** [[hashedShingleSets]] without the persist — for single-shot
     * consumers that provide their own materialization boundary.
@@ -147,6 +168,7 @@ object Dedup {
       .select(col("id"), col("s"), col("sh_cnt"))
       // both sides of the self-join read this — one join+window pass
       .persist(StorageLevel.MEMORY_AND_DISK)
+    registerCache(prefix)
     val candidates = prefix.select(col("id").as("id_a"), col("s"), col("sh_cnt").as("ca"))
       .join(prefix.select(col("id").as("id_b"), col("s"), col("sh_cnt").as("cb")), Seq("s"))
       .filter(col("id_a") < col("id_b") &&

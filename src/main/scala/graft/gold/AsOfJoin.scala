@@ -122,6 +122,42 @@ object AsOfJoin {
       .select(col("_q.*") +: payloadCols.map(c => col(s"_feat.$c").as(c)): _*)
   }
 
+  /** Size-dispatching as-of join: conversations whose history exceeds
+    * `heavyThreshold` rows route to [[asOfSegmented]], the rest take
+    * the plain [[asOf]]. The measured crossover on this host is
+    * ~10^7 rows per conversation (Bench.scala): below it a running
+    * `last` over one conversation is a sub-second task and the
+    * segmented form's per-(conv, segment) summary + join overhead
+    * only slows things down; above it the plain form serializes a
+    * mega-conversation on one task while segments parallelize.
+    *
+    * `convSizes` (optional, columns `conv_id` + `count`) supplies the
+    * per-conversation history sizes from metadata — e.g. the
+    * checkpoint state's `st_last_turn_idx + 1`, which is O(convs)
+    * tiny — so the dispatch costs no scan of the history itself.
+    * Without it, one narrow map-combined count aggregate runs.
+    * Heavy ids are the skew tail (tiny by construction): they land
+    * driver-side and split the inputs with isin predicates.
+    */
+  def asOfAuto(
+      queries: DataFrame,
+      history: DataFrame,
+      payloadCols: Seq[String],
+      heavyThreshold: Long = 10000000L,
+      segmentSecs: Long = 604800L,
+      convSizes: Option[DataFrame] = None): DataFrame = {
+    val sizes = convSizes.getOrElse(history.groupBy(col("conv_id")).count())
+    val heavy = sizes.filter(col("count") > heavyThreshold)
+      .select(col("conv_id")).collect().map(_.getString(0)).toSeq
+    if (heavy.isEmpty) asOf(queries, history, payloadCols)
+    else {
+      val isHeavy = col("conv_id").isin(heavy: _*)
+      asOf(queries.filter(!isHeavy), history.filter(!isHeavy), payloadCols)
+        .unionByName(asOfSegmented(
+          queries.filter(isHeavy), history.filter(isHeavy), payloadCols, segmentSecs))
+    }
+  }
+
   /** Brute-force oracle formulation (tests only): join every history
     * row at or before the query ts, keep max (ts, turn_idx) via max_by.
     * Semantically identical to [[asOf]]; quadratic in conversation

@@ -98,6 +98,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("_seg"), plan.take(3000))
   }
 
+  test("asOfAuto routes oversize conversations to the segmented path, rest to plain") {
+    // planted 40k-turn mega + normal conversations; a 1000-row
+    // threshold forces the mega onto the segmented branch
+    val mix = FeatureWindows.rangeFeatures(SilverBuilder.build(
+      TranscriptGen.transcripts(spark, nConvs = 10, avgTurns = 12, megaConvs = 1, megaTurns = 40000)))
+      .select("conv_id", "turn_idx", "ts", "turns_cnt_1h", "chars_sum_1h").cache()
+    val q = mix.filter(pmod(col("turn_idx"), lit(7)) === 2)
+      .select(col("conv_id"), (col("ts") + expr("INTERVAL 9 SECONDS")).as("ts"))
+      .withColumn("q_id", monotonically_increasing_id()).cache()
+    val auto = AsOfJoin.asOfAuto(q, mix, payload, heavyThreshold = 1000L,
+      segmentSecs = 86400L).withColumnRenamed("turn_idx", "m_turn")
+    val plain = AsOfJoin.asOf(q, mix, payload).withColumnRenamed("turn_idx", "m_turn")
+    assert(auto.count() == q.count())
+    assert(auto.exceptAll(plain).count() == 0 && plain.exceptAll(auto).count() == 0)
+    // the heavy branch is present (union of the two forms) and runs
+    // over (conv_id, _seg)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("Union") && plan.contains("_seg"), plan.take(3000))
+    // metadata-supplied sizes skip the history count: below-threshold
+    // sizes give the pure plain plan
+    import spark.implicits._
+    val sizes = mix.select("conv_id").distinct().withColumn("count", lit(5L))
+    val viaMeta = AsOfJoin.asOfAuto(q, mix, payload, heavyThreshold = 1000L,
+      convSizes = Some(sizes))
+    assert(!viaMeta.queryExecution.executedPlan.toString.contains("_seg"))
+  }
+
   test("latestForKeys respects the key set") {
     import spark.implicits._
     val keys = gold.select("conv_id").distinct().limit(5).cache()
