@@ -135,8 +135,11 @@ object Bench {
     val gold = spark.read.parquet(s"$outDir/gold").drop("slice_id")
     val queries = gold.filter(pmod(col("turn_idx"), lit(10)) === 3)
       .select(col("conv_id"), (col("ts") + expr("INTERVAL 60 SECONDS")).as("ts"))
-    val sizes = graft.meta.Checkpoint.latestConvState(
-      graft.meta.Checkpoint.readConvStateDeltas(spark, outDir, Long.MaxValue))
+    // filter-first sizes: turn ordinals only grow, so ANY delta row
+    // above the threshold marks a heavy conversation — no
+    // latest-per-conv aggregate needed, just a pushed narrow filter
+    // over the O(convs x chain) state rows
+    val sizes = graft.meta.Checkpoint.readConvStateDeltas(spark, outDir, Long.MaxValue)
       .select(col("conv_id"), (col("st_last_turn_idx") + 1L).as("count"))
     AsOfJoin.asOfAuto(queries, gold,
       Seq("turn_idx", "turns_cnt_1h", "chars_sum_1h", "tool_distinct_24h", "session_id"),
@@ -178,8 +181,17 @@ object Bench {
       results(name) = secs
     }
 
-    // headline: synthetic backfill throughput + as-of wall time
+    // headline: synthetic backfill throughput + as-of wall time.
+    // Untimed warmup backfill on a tiny input first — the same
+    // protocol ScalingBench uses (JIT + codegen compilation of the
+    // sweep/write paths are one-time JVM costs, not engine throughput).
     val work = newWorkDir("graft_bench")
+    if (warmDir != "none") {
+      TranscriptGen.transcripts(spark, 20000L, avgTurns = 30, megaConvs = 1, megaTurns = 60000)
+        .repartition(16).write.mode("overwrite").parquet(s"$work/warm_bronze")
+      runBackfill(spark, s"$work/warm_bronze", s"$work/warm_out")
+      runAsOf(spark, s"$work/warm_out")
+    }
     val bronzeDir = s"$work/bronze"
     val outDir = s"$work/out"
     val turns = writeBronze(spark, bronzeDir, nConvs)

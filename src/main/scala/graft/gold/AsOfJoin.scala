@@ -148,7 +148,7 @@ object AsOfJoin {
       convSizes: Option[DataFrame] = None): DataFrame = {
     val sizes = convSizes.getOrElse(history.groupBy(col("conv_id")).count())
     val heavy = sizes.filter(col("count") > heavyThreshold)
-      .select(col("conv_id")).collect().map(_.getString(0)).toSeq
+      .select(col("conv_id")).distinct().collect().map(_.getString(0)).toSeq
     if (heavy.isEmpty) asOf(queries, history, payloadCols)
     else {
       val isHeavy = col("conv_id").isin(heavy: _*)
