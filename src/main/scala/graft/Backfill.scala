@@ -136,8 +136,11 @@ object Backfill {
       compactStateEvery: Int = 16,
       segmentSecs: Long = 604800L,
       contextStrategy: String = "auto",
-      materializeSilver: Boolean = false): Seq[SliceReport] = {
+      materializeSilver: Boolean = false,
+      skewDetection: String = "lazy"): Seq[SliceReport] = {
 
+    require(skewDetection == "lazy" || skewDetection == "upfront",
+      s"skewDetection must be lazy|upfront, got '$skewDetection'")
     val committed = Checkpoint.committedSlices(spark, outDir)
     val silverPath = s"$outDir/silver"
     val goldPath = s"$outDir/gold"
@@ -188,6 +191,19 @@ object Backfill {
           "version); re-run the backfill from scratch, or backfill text_len = " +
           "length(text) into the committed slices first")
 
+    // heavy ids detected in one slice carry into the next slice's first
+    // attempt: an ongoing mega keeps > thr lookback events until it
+    // goes quiet, so re-detecting it from scratch every slice would pay
+    // the lazy path's wasted optimistic attempt every time. Carried ids
+    // EXPIRE after the lookback drains (reach slices): at expiry one
+    // upfront re-detection refreshes the set, so a conversation that
+    // went quiet stops paying the heavy-branch plan overhead, while a
+    // sustained mega costs one count job per reach slices instead of a
+    // wasted optimistic attempt per slice.
+    var carriedHeavy: Seq[String] = Nil
+    var heavyExpiry: Int = -1
+    val heavyReach = (Math.ceil(MaxLookbackSecs.toDouble / sliceSecs) + 1).toInt
+
     val reports = (0 until nSlices).map { i =>
       val start = firstStartSec + i * sliceSecs
       val end = start + sliceSecs
@@ -225,8 +241,12 @@ object Backfill {
         // stream for the conversation). Heavy ids are the skew TAIL —
         // tiny by construction — so one map-combined count + driver
         // collect beats re-planning broadcast joins into all split
-        // branches. Counts read narrow columns only.
-        val heavyIds: Seq[String] = skewHeavyThreshold match {
+        // branches. Counts read narrow columns only. Detection is
+        // LAZY by default: the sweep itself throws a marked capacity
+        // exception when a conversation crosses the threshold, and
+        // only then does this explicit count job run — the common
+        // all-light slice pays zero detection jobs.
+        def detectHeavy(): Seq[String] = skewHeavyThreshold match {
           case Some(thr) => phase(id, "heavy ids")({
             val sliceCnt = rawSlice.groupBy(col("conv_id")).count()
             val ctxCnt =
@@ -251,7 +271,8 @@ object Backfill {
           val light = FusedSweep.gold(
             deltas.filter(!isRouted), emptySilver(spark),
             sliceBronze.filter(!isRouted), sessionGapSecs,
-            Some(tails.filter(!isRouted)), lightCtxStream)
+            Some(tails.filter(!isRouted)), lightCtxStream,
+            capacityLimit = skewHeavyThreshold)
           if (routedIds.isEmpty) light
           else {
             // routed context comes from the same narrow gold read; the
@@ -349,27 +370,51 @@ object Backfill {
             } finally spark.listenerManager.unregister(waiter)
           }
 
-        // The fused sweep asserts ts non-decreasing in turn_idx per
-        // conversation (the transcript contract). Real bronze can
-        // violate it (clock skew); rather than aborting the backfill,
-        // catch the violation, detect exactly the inverted
-        // conversations, and re-run the slice with them routed to the
-        // segmented heavy path — whose frame stage sorts by ts (value
-        // -correct under any turn/ts disagreement) and whose session
-        // stage is the declarative turn-ordered window. Zero cost on
-        // the contract-clean path.
-        val metrics = phase(id, "gold compute+write")(
-          try writeGoldObserved(buildGold(heavyIds, Nil))
-          catch {
-            case e: Throwable if isTsInversion(e) =>
-              val inverted = phase(id, "inversion detect")(
-                detectInvertedConvs(sliceBronze))
-              if (inverted.isEmpty) throw e
-              println(s"[backfill] $id: rerouting ${inverted.size} ts-inverted " +
-                s"conversation(s) off the fused sweep: ${inverted.take(5).mkString(", ")}" +
-                (if (inverted.size > 5) ", ..." else ""))
-              writeGoldObserved(buildGold(heavyIds, inverted))
+        // The fused sweep asserts two preconditions and the slice
+        // RE-RUNS (idempotent overwrite) with the offending
+        // conversations rerouted when either fails:
+        //  - ts non-decreasing in turn_idx (the transcript contract;
+        //    clock-skewed conversations go to the ts-sorted heavy
+        //    frame path + plain turn-ordered sessions), and
+        //  - per-conversation capacity (lazy skew detection: the
+        //    explicit count job runs only after a conversation
+        //    actually crosses the threshold; detected heavies carry
+        //    into later slices' first attempts).
+        // Zero cost on the contract-clean, all-light path.
+        var heavyIds: Seq[String] =
+          if (skewHeavyThreshold.isDefined &&
+              (skewDetection == "upfront" || (carriedHeavy.nonEmpty && i >= heavyExpiry))) {
+            val d = detectHeavy(); heavyExpiry = i + heavyReach; d
+          } else carriedHeavy
+        var invertedIds: Seq[String] = Nil
+        var metrics: Option[org.apache.spark.sql.Row] = None
+        var attempts = 0
+        var done = false
+        phase(id, "gold compute+write")(
+          while (!done) {
+            attempts += 1
+            try { metrics = writeGoldObserved(buildGold(heavyIds, invertedIds)); done = true }
+            catch {
+              case e: Throwable if isCapacity(e) && attempts <= 3 =>
+                val detected = detectHeavy()
+                heavyExpiry = i + heavyReach
+                if (!detected.exists(d => !heavyIds.contains(d))) throw e
+                println(s"[backfill] $id: routing ${detected.size} oversize " +
+                  s"conversation(s) to the segmented heavy path: " +
+                  detected.take(5).mkString(", ") +
+                  (if (detected.size > 5) ", ..." else ""))
+                heavyIds = (heavyIds ++ detected).distinct
+              case e: Throwable if isTsInversion(e) && attempts <= 3 =>
+                val inverted = phase(id, "inversion detect")(
+                  detectInvertedConvs(sliceBronze))
+                if (!inverted.exists(d => !invertedIds.contains(d))) throw e
+                println(s"[backfill] $id: rerouting ${inverted.size} ts-inverted " +
+                  s"conversation(s) off the fused sweep: ${inverted.take(5).mkString(", ")}" +
+                  (if (inverted.size > 5) ", ..." else ""))
+                invertedIds = (invertedIds ++ inverted).distinct
+            }
           })
+        carriedHeavy = heavyIds
 
         if (failAfterGoldWriteOfSlice.contains(id))
           throw new RuntimeException(s"injected failure after gold write of $id (test hook)")
@@ -575,6 +620,13 @@ object Backfill {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
       .exists(t => Option(t.getMessage).exists(_.contains("fused sweep precondition violated")))
 
+  /** True if the failure is the fused sweep's per-conversation
+    * capacity check (lazy skew detection).
+    */
+  private[graft] def isCapacity(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => Option(t.getMessage).exists(_.contains("fused sweep capacity exceeded")))
+
   /** Conversations whose deduped slice rows have ts DECREASING in
     * turn_idx — the ones the fused sweep cannot stream. Only runs on
     * the anomaly path (after a precondition failure), so its extra
@@ -663,7 +715,15 @@ object Backfill {
         graft.skew.SegmentedSessions.withStateSegmented(ranged, state, gapSecs, segmentSecs)
       else
         withState(ranged, state, gapSecs)
+    // round-robin the heavy output across the session's full
+    // parallelism before it unions into the slice write: the segment
+    // stages leave O(span/segment) partitions, and a downstream write
+    // inheriting that would serialize the mega's full-width rows on a
+    // few tasks (measured: a ~7 s write straggler for 1M rows on 3
+    // tasks). Numbered repartition so AQE leaves it alone.
+    val numParts = ranged.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     sessioned.withColumn("text_len", length(col("text")).cast("long"))
+      .repartition(numParts)
   }
 
   /** Lookback context: the `[start - MaxLookback, start)` tail of the

@@ -102,7 +102,9 @@ object Bench {
     */
   def runBackfill(spark: SparkSession, bronzeDir: String, outDir: String): Seq[Backfill.SliceReport] =
     Backfill.run(spark, spark.read.parquet(bronzeDir), outDir,
-      firstStartSec = 1704067200L, sliceSecs = 10L * 86400, nSlices = 4,
+      firstStartSec = 1704067200L,
+      sliceSecs = sys.env.get("SPARK_GRAFT_SLICE_SECS").map(_.toLong).getOrElse(10L * 86400),
+      nSlices = sys.env.get("SPARK_GRAFT_SLICES").map(_.toInt).getOrElse(4),
       // per-slice dispatch threshold at the measured crossover
       // (SkewProbe, 2x-lookback segments): plain sweep vs segmented
       // heavy path = 8.1/22.0 s at 1M turns-per-slice, 20.7/32.1 at
@@ -204,6 +206,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_turns":$turns,"gold_rows":$goldRows,"backfill_turns_per_sec":${(goldRows / backfillSecs).round},"asof_queries":$asofRows,"asof_queries_per_sec":${(asofRows / asofSecs).round}}""")
+    // drop this run's synthetic tables — repeated bench runs otherwise
+    // accumulate ~0.5 GB each on the (tmpfs) work dir
+    val wp = new org.apache.hadoop.fs.Path(work)
+    val fs = wp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wp)) { fs.delete(wp, true); () }
     spark.stop()
   }
 }

@@ -103,8 +103,10 @@ object SkewProbe {
       .getOrElse(2L * 604800L)
     def runOne(tag: String, thr: Option[Long]): Double = {
       val out = Bench.newWorkDir(s"skewprobe_$tag")
+      // upfront detection: the probe calibrates the pure PATH cost
+      // (plain sweep vs segmented), not the lazy first-encounter retry
       val (_, secs) = time(Backfill.run(spark, in, out, 1704067200L, sliceSecs, 1,
-        skewHeavyThreshold = thr, segmentSecs = segSecs))
+        skewHeavyThreshold = thr, segmentSecs = segSecs, skewDetection = "upfront"))
       val p = new org.apache.hadoop.fs.Path(out)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) { fs.delete(p, true); () }
@@ -112,7 +114,10 @@ object SkewProbe {
     }
     runOne("warm", None) // warmup
     val plain = runOne("plain", None)
-    val routed = runOne("routed", Some(1L))
+    // threshold selecting ONLY the planted mega (base conversations
+    // bring <= ~90 turns): the probe isolates the heavy path's cost
+    // for the conversation it exists for
+    val routed = runOne("routed", Some(megaTurns / 2L))
     println(f"[skew] heavy crossover megaTurns=$megaTurns: plain sweep $plain%.2f s, " +
       f"segmented heavy path $routed%.2f s")
     val p = new org.apache.hadoop.fs.Path(work)

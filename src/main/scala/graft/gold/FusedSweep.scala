@@ -192,16 +192,33 @@ object FusedSweep {
     * `context` is prior-slice silver inside the lookback; `bronze` is
     * the validated current slice. Emits gold rows for the slice only.
     */
+  /** `capacityLimit`: optimistic skew detection — the sweep throws a
+    * marked exception the moment one conversation's accepted slice
+    * rows OR side-stream context entries exceed the limit (the same
+    * two quantities the explicit dispatch counts). The caller catches
+    * it, runs the explicit heavy-id detection, and re-runs with those
+    * conversations routed — so the common all-light slice pays ZERO
+    * detection jobs.
+    */
   def gold(
       state: DataFrame,
       context: DataFrame,
       bronze: DataFrame,
       gapSecs: Long = TranscriptSchema.DefaultSessionGapSecs,
       tails: Option[DataFrame] = None,
-      ctxStream: Option[DataFrame] = None): DataFrame = {
+      ctxStream: Option[DataFrame] = None,
+      capacityLimit: Option[Long] = None): DataFrame = {
     val spark = bronze.sparkSession
     val tsType = bronze.schema("ts").dataType
-    val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // 4x over-partitioning: a conversation is one hash key, so the
+    // partition holding a mega carries the mega's rows PLUS an average
+    // share — with partitions == cores that share is 1/cores of the
+    // slice and the mega task straggles the stage (measured at
+    // local[16]: max task 2x median). At 4x, the straggler floor drops
+    // to the mega's own rows and the displaced average work spreads
+    // over the extra waves. Explicit numbered repartition: AQE leaves
+    // REPARTITION_BY_NUM alone.
+    val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt * 8
     val unioned = stateRows(state)
       .unionByName(contextRows(context))
       .unionByName(bronzeRows(bronze))
@@ -225,12 +242,13 @@ object FusedSweep {
 
     val outSchema = goldSchema(tsType)
     val gap = gapSecs
+    val limit = capacityLimit.getOrElse(Long.MaxValue)
 
     val rdd = GraftInternalAccess.toInternalRdd(sorted.toDF())
       .zipPartitions(
         GraftInternalAccess.toInternalRdd(tailSorted.toDF()),
         GraftInternalAccess.toInternalRdd(ctxSorted.toDF())) {
-        (data, tl, cx) => new SweepIterator(data, tl, cx, gap)
+        (data, tl, cx) => new SweepIterator(data, tl, cx, gap, limit)
       }
     GraftInternalAccess.internalCreateDataFrame(spark, rdd, outSchema)
   }
@@ -256,8 +274,17 @@ object FusedSweep {
     */
   private final class SweepIterator(
       in: Iterator[InternalRow], tails: Iterator[InternalRow],
-      ctx: Iterator[InternalRow], gapSecs: Long)
+      ctx: Iterator[InternalRow], gapSecs: Long,
+      capacityLimit: Long = Long.MaxValue)
       extends Iterator[InternalRow] {
+
+    // optimistic skew detection (see [[gold]])
+    private var convDataRows = 0L
+    private def checkCapacity(n: Long, what: String): Unit =
+      if (n > capacityLimit)
+        throw new IllegalStateException(
+          s"fused sweep capacity exceeded: conversation $curConv has > $capacityLimit " +
+            s"$what this slice — route it to the segmented heavy path")
 
     // single-row lookahead into the (conv-sorted) side-streams;
     // always a private copy (UnsafeRow buffers are reused by the
@@ -279,15 +306,35 @@ object FusedSweep {
     // merged side-stream entry buffer of the current conversation —
     // collected, ts-sorted if needed (multi-chunk tails of a
     // ts-inverted conversation concatenate out of order: chunk order
-    // follows turn_idx, not ts), then fed to the frames in one pass
-    private val sideTs = mutable.ArrayBuffer[Long]()
-    private val sideLen = mutable.ArrayBuffer[Long]()
-    private val sideTool = mutable.ArrayBuffer[String]()
+    // follows turn_idx, not ts), then fed to the frames in one pass.
+    // Primitive growable arrays, NOT ArrayBuffer[Long]: the buffer
+    // sees every committed context entry of the slice (tens of
+    // millions at bench scale) and boxing them doubles the sweep's
+    // allocation rate.
+    private var sideCap = 1024
+    private var sideTs = new Array[Long](sideCap)
+    private var sideLen = new Array[Long](sideCap)
+    private var sideTool = new Array[String](sideCap)
+    private var sideN = 0
     private var sideSorted = true
 
     private def bufferEntry(t: Long, l: Long, tool: String): Unit = {
-      if (sideTs.nonEmpty && t < sideTs(sideTs.length - 1)) sideSorted = false
-      sideTs += t; sideLen += l; sideTool += tool
+      if (sideN == sideCap) {
+        val ncap = sideCap * 2
+        sideTs = java.util.Arrays.copyOf(sideTs, ncap)
+        sideLen = java.util.Arrays.copyOf(sideLen, ncap)
+        sideTool = java.util.Arrays.copyOf(sideTool, ncap)
+        sideCap = ncap
+      }
+      if (sideN > 0 && t < sideTs(sideN - 1)) sideSorted = false
+      sideTs(sideN) = t; sideLen(sideN) = l; sideTool(sideN) = tool
+      sideN += 1
+    }
+
+    private def clearSide(): Unit = {
+      java.util.Arrays.fill(sideTool.asInstanceOf[Array[AnyRef]], 0, sideN, null)
+      sideN = 0
+      sideSorted = true
     }
 
     /** Apply every tail/context row of `conv` to the frames; called
@@ -299,7 +346,7 @@ object FusedSweep {
       * suffices.
       */
     private def drainTails(conv: UTF8String): Unit = {
-      sideTs.clear(); sideLen.clear(); sideTool.clear(); sideSorted = true
+      clearSide()
       var t = nextTail()
       while (t != null) {
         val cmp = t.getUTF8String(T_CONV).compareTo(conv)
@@ -327,14 +374,14 @@ object FusedSweep {
 
     /** Feed the buffered side entries to the frames in ts order. */
     private def feedSide(): Unit = {
-      if (sideTs.isEmpty) return
-      val n = sideTs.length
+      if (sideN == 0) return
+      val n = sideN
+      checkCapacity(n.toLong, "committed context events")
       var order: Array[Int] = null
       if (!sideSorted) {
-        order = Array.range(0, n)
         // ts-inverted conversations only: restore value order so the
         // frames see a valid timeline (stable for equal ts)
-        order = order.sortBy(sideTs(_))
+        order = Array.range(0, n).sortBy(sideTs(_))
       }
       var i = 0
       while (i < n) {
@@ -351,7 +398,7 @@ object FusedSweep {
         hasPrevData = true
         i += 1
       }
-      sideTs.clear(); sideLen.clear(); sideTool.clear(); sideSorted = true
+      clearSide()
     }
 
     private val f1h = new FrameQ(3600L)
@@ -388,6 +435,7 @@ object FusedSweep {
 
     private def resetConv(conv: UTF8String): Unit = {
       curConv = conv
+      convDataRows = 0L
       sawState = false
       sessions = 0
       hasPrev = false
@@ -507,6 +555,7 @@ object FusedSweep {
             val t = tsSecOf(r)
             if (groupOpen && t != groupTsSec) { lookahead = r.copy(); return true }
             lastTurn = turn; hasLastTurn = true
+            if (k == 2) { convDataRows += 1L; checkCapacity(convDataRows, "accepted rows") }
             processData(r, k)
           }
         }

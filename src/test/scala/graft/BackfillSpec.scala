@@ -92,6 +92,22 @@ class BackfillSpec extends AnyFunSuite {
     assertSame(spark.read.parquet(s"$dir2/gold"), oracle)
   }
 
+  test("adaptive compaction: chain longer than 4 deltas snapshots even with periodic off") {
+    // 2-day slices over the full span -> ~20 slices; compactStateEvery=0
+    // disables the periodic trigger, so any snapshot present proves the
+    // adaptive chain-length trigger fired
+    val dir = Files.createTempDirectory("bf_adaptive").toString
+    Backfill.run(spark, bronze, dir, start, 2L * 86400, 20, compactStateEvery = 0)
+    val snapDir = new org.apache.hadoop.fs.Path(s"$dir/_meta/conv_state_snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(snapDir) && fs.listStatus(snapDir).nonEmpty,
+      "expected the adaptive trigger to write a state snapshot")
+    // and the chain a reader traverses stays bounded at <= 4 + current
+    val lastStart = start + 19 * 2L * 86400
+    assert(graft.meta.Checkpoint.uncompactedDeltaDirs(spark, dir, lastStart + 1) <= 5)
+    assertSame(spark.read.parquet(s"$dir/gold"), singleShot)
+  }
+
   test("lineage: per-(slice, dt) rows with counts, hashes, throughput; watermarks committed") {
     val dir = Files.createTempDirectory("bf_lineage").toString
     Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
