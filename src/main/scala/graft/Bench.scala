@@ -106,13 +106,14 @@ object Bench {
       sliceSecs = sys.env.get("SPARK_GRAFT_SLICE_SECS").map(_.toLong).getOrElse(10L * 86400),
       nSlices = sys.env.get("SPARK_GRAFT_SLICES").map(_.toInt).getOrElse(4),
       // per-slice dispatch threshold at the measured crossover
-      // (SkewProbe, 2x-lookback segments): plain sweep vs segmented
-      // heavy path = 8.1/22.0 s at 1M turns-per-slice, 20.7/32.1 at
-      // 4M, 35.8/47.3 at 8M, 75.3/62.5 at 16M — the segmented form
-      // pays above ~10^7, same crossover as the as-of dispatch. The
-      // 2M-turn planted megas bring ~600-860k turns per 10-day slice
-      // and stay on the plain sweep (round-4 phase forensics: routing
-      // them cost ~6 s/slice of fixed overhead, 55 s vs 40 s whole-run).
+      // (SkewProbe, 2x-lookback segments, final round-4 engine):
+      // plain sweep vs segmented heavy path = 9.9/16.6 s at 1M
+      // turns-per-slice, 19.3/21.0 at 4M, 79.7/53.0 at 16M — the
+      // segmented form pays in the high single-digit millions, same
+      // crossover regime as the as-of dispatch. The 2M-turn planted
+      // megas bring ~600-860k turns per 10-day slice and stay on the
+      // plain sweep, whose 8x over-partitioning bounds their
+      // straggler at the conversation's own rows.
       skewHeavyThreshold = sys.env.get("SPARK_GRAFT_SKEW_THRESHOLD") match {
         case Some("off") => None
         case Some(v) => Some(v.toLong)
