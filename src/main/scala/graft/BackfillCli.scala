@@ -12,7 +12,9 @@ import graft.sources.TranscriptSource
   * {{{
   * spark-submit --class graft.BackfillCli <engine.jar> \
   *   --bronze   s3://bucket/bronze            (parquet or NDJSON[.gz])
-  *   --out      s3://bucket/medallion         (silver/, gold/, _meta/)
+  *   --out      s3://bucket/medallion         (gold/, _meta/; silver/ with
+  *                                             --materialize-silver — by default
+  *                                             silver is a projection of gold)
   *   --start    2024-01-01T00:00:00Z          (first slice start, ISO-8601 or epoch secs)
   *   --slice-secs 86400                       (slice width)
   *   --slices   30                            (number of slices)
