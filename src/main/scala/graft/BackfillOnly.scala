@@ -52,7 +52,10 @@ object BackfillOnly {
       val t1 = System.nanoTime()
       val asofRows = Bench.runAsOf(spark, out)
       val asofW = (System.nanoTime() - t1) / 1e9
-      rm(out)
+      // SPARK_GRAFT_KEEP_OUT=1 keeps the last run's output (e.g. to
+      // inspect the lineage table afterwards)
+      if (!sys.env.get("SPARK_GRAFT_KEEP_OUT").contains("1")) rm(out)
+      else println(s"[ab] kept output: $out")
       println(f"[ab] run $i: $w%.2f s  (asof $asofW%.2f s, $asofRows rows)")
       w
     }
