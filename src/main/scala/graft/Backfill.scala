@@ -168,17 +168,48 @@ object Backfill {
     // Resuming/extending with a different slice width would silently
     // mis-prune the lookback reads (slice dirs are time ranges of the
     // width they were WRITTEN with) — fail loudly instead.
-    Checkpoint.readWatermarks(spark, outDir)
+    val wmRows = Checkpoint.readWatermarks(spark, outDir)
       .filter(col("status") === "committed")
-      .select(unix_timestamp(col("slice_start")).as("s"), unix_timestamp(col("slice_end")).as("e"))
+      .select(col("slice_id"), unix_timestamp(col("slice_start")).as("s"),
+        unix_timestamp(col("slice_end")).as("e"), col("row_count"))
       .collect()
-      .find(r => r.getLong(1) - r.getLong(0) != sliceSecs)
+    wmRows
+      .find(r => r.getLong(2) - r.getLong(1) != sliceSecs)
       .foreach { r =>
         throw new IllegalArgumentException(
-          s"committed slice width ${r.getLong(1) - r.getLong(0)}s does not match " +
+          s"committed slice width ${r.getLong(2) - r.getLong(1)}s does not match " +
             s"sliceSecs=${sliceSecs}s; slice-granular pruning assumes uniform widths — " +
             "resume this table with its original slice width")
       }
+    // committed row counts feed the empty-slice probe heuristic below
+    val committedRowCounts: Map[String, Long] =
+      wmRows.map(r => r.getString(0) -> r.getLong(3)).toMap
+
+    // Strategy guard (same loud-failure class as the slice-width
+    // guard): resuming a table whose committed slices wrote state-only
+    // (rescan) deltas with an effective `tails` strategy would make
+    // readFrameTails silently filter every null-tail row — lookback
+    // frames spanning the switch would see zero committed context and
+    // the 1h/24h/7d features would be silently wrong. The effective
+    // strategy is persisted as a driver-written table property on
+    // every run; pre-props tables are probed for written tail arrays
+    // (one tiny narrow aggregate, resume-only). The reverse switch
+    // (tails table resumed under rescan) is safe — rescan reads the
+    // committed gold files directly — but downgrades the property, so
+    // a later tails resume of the mixed chain is correctly rejected.
+    val persistedTails = Checkpoint.readContextTailsProp(spark, outDir)
+    if (committed.nonEmpty && useTails) {
+      val tailsAvailable =
+        persistedTails.getOrElse(Checkpoint.frameTailsEverWritten(spark, outDir))
+      if (!tailsAvailable)
+        throw new IllegalArgumentException(
+          "effective contextStrategy is 'tails' but the committed slices of this table " +
+            "were written under the state-only (rescan) strategy and carry no frame-tail " +
+            "arrays — lookback frames would silently lose all committed context. Resume " +
+            "with --context rescan, or rebuild the table from scratch under tails.")
+    }
+    Checkpoint.writeContextTailsProp(spark, outDir,
+      useTails && (committed.isEmpty || persistedTails.getOrElse(useTails)))
 
     // Table-version guard (resume across engine upgrades): the frame
     // stages read the persisted text_len of committed gold; a table
@@ -204,6 +235,19 @@ object Backfill {
     var heavyExpiry: Int = -1
     val heavyReach = (Math.ceil(MaxLookbackSecs.toDouble / sliceSecs) + 1).toInt
 
+    // Empty-slice fast path (ADVICE r4): an empty slice run through the
+    // full pipeline pays the whole fixed per-slice job overhead (a
+    // 256-task write of zero rows, the observe waiter, FS commits) —
+    // sparse backfills are mostly THAT overhead. A narrow limit-1 probe
+    // detects emptiness for ~one file-footer read, but as an
+    // unconditional per-slice job it is itself fixed Amdahl residue on
+    // DENSE backfills (the round-4 win was removing exactly such jobs).
+    // Heuristic: probe only when the PREVIOUS slice was empty — dense
+    // runs pay zero probes, sparse runs pay full cost once at the first
+    // empty slice and a cheap probe thereafter. Committed row counts
+    // seed the flag across resumes.
+    var prevSliceEmpty = false
+
     val reports = (0 until nSlices).map { i =>
       val start = firstStartSec + i * sliceSecs
       val end = start + sliceSecs
@@ -211,7 +255,18 @@ object Backfill {
       val t0 = System.nanoTime()
 
       if (committed.contains(id)) {
+        prevSliceEmpty = committedRowCounts.get(id).contains(0L)
         SliceReport(id, 0L, 0L, skipped = true)
+      } else if (prevSliceEmpty && phase(id, "empty probe")(bronze.filter(
+          bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end)).isEmpty)) {
+        // commit the zero-row watermark directly; remove any stale data
+        // a prior invalidated run of this slice may have left behind
+        deleteDir(spark, s"$goldPath/slice_id=$id")
+        if (materializeSilver) deleteDir(spark, s"$silverPath/slice_id=$id")
+        Checkpoint.clearConvStateDelta(spark, outDir, start)
+        Checkpoint.commitSlice(spark, outDir, id,
+          new Timestamp(start * 1000L), new Timestamp(end * 1000L), None, 0L)
+        SliceReport(id, 0L, (System.nanoTime() - t0) / 1000000L, skipped = false)
       } else {
         // --- the current slice, half-open [start, end), validated ---
         val rawSlice = bronze.filter(
@@ -450,10 +505,17 @@ object Backfill {
         if (periodic ||
             Checkpoint.uncompactedDeltaDirs(spark, outDir, start + 1) > MaxStateChain)
           phase(id, "state compaction")(Checkpoint.compactConvState(spark, outDir, start))
+        prevSliceEmpty = rows == 0L
         SliceReport(id, rows, wallMs, skipped = false)
       }
     }
     reports
+  }
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** The silver layer, served as a projection of the gold files (gold

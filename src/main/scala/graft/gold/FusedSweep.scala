@@ -200,6 +200,12 @@ object FusedSweep {
     * conversations routed — so the common all-light slice pays ZERO
     * detection jobs.
     */
+  /** Default sweep-exchange over-partitioning multiple of
+    * `spark.sql.shuffle.partitions` (see the rationale at the
+    * numParts computation in [[gold]]).
+    */
+  val OverPartitionFactor: Int = 8
+
   def gold(
       state: DataFrame,
       context: DataFrame,
@@ -207,18 +213,24 @@ object FusedSweep {
       gapSecs: Long = TranscriptSchema.DefaultSessionGapSecs,
       tails: Option[DataFrame] = None,
       ctxStream: Option[DataFrame] = None,
-      capacityLimit: Option[Long] = None): DataFrame = {
+      capacityLimit: Option[Long] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
     val spark = bronze.sparkSession
     val tsType = bronze.schema("ts").dataType
-    // 4x over-partitioning: a conversation is one hash key, so the
-    // partition holding a mega carries the mega's rows PLUS an average
-    // share — with partitions == cores that share is 1/cores of the
-    // slice and the mega task straggles the stage (measured at
-    // local[16]: max task 2x median). At 4x, the straggler floor drops
-    // to the mega's own rows and the displaced average work spreads
-    // over the extra waves. Explicit numbered repartition: AQE leaves
-    // REPARTITION_BY_NUM alone.
-    val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt * 8
+    // OverPartitionFactor x over-partitioning: a conversation is one
+    // hash key, so the partition holding a mega carries the mega's rows
+    // PLUS an average share — with partitions == cores that share is
+    // 1/cores of the slice and the mega task straggles the stage
+    // (measured at local[16]: max task 2x median). At 8x, the straggler
+    // floor drops to the mega's own rows and the displaced average work
+    // spreads over the extra waves (measured local[16] on 58.4M turns:
+    // 91 s -> 67 s vs partitions == cores). Explicit numbered
+    // repartition: AQE leaves REPARTITION_BY_NUM alone. Callers that
+    // know the slice's data volume pass `numPartitions` instead, which
+    // bounds output file count independently of core count
+    // ([[graft.Backfill]] sizes it from the previous slice's bytes).
+    val numParts = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt * OverPartitionFactor)
     val unioned = stateRows(state)
       .unionByName(contextRows(context))
       .unionByName(bronzeRows(bronze))
@@ -303,20 +315,28 @@ object FusedSweep {
       else if (ctx.hasNext) ctx.next()
       else null
 
-    // merged side-stream entry buffer of the current conversation —
-    // collected, ts-sorted if needed (multi-chunk tails of a
-    // ts-inverted conversation concatenate out of order: chunk order
-    // follows turn_idx, not ts), then fed to the frames in one pass.
-    // Primitive growable arrays, NOT ArrayBuffer[Long]: the buffer
-    // sees every committed context entry of the slice (tens of
-    // millions at bench scale) and boxing them doubles the sweep's
-    // allocation rate.
+    // Side-stream entries (frame tails + scalar context) feed the
+    // frames STREAMING in the contract-clean common case: chunk arrays
+    // are ts-sorted by construction and chunks arrive in (slice_start,
+    // chunk) order, so entries are globally non-decreasing and go
+    // straight into the ring buffers — O(1) extra memory no matter how
+    // large the conversation's committed context is (ADVICE r4: the
+    // unconditional buffer accumulated a mega's entire lookback in one
+    // task's heap). Only a ts-INVERTED conversation's multi-chunk
+    // tails concatenate out of order (chunk order follows turn_idx,
+    // not ts); on the FIRST out-of-order entry the feed falls back to
+    // buffer-and-sort, moving the already-fed prefix from the frames
+    // (fully resident — no eviction happens during the drain) into the
+    // buffer. Primitive growable arrays, NOT ArrayBuffer[Long]:
+    // boxing doubles the sweep's allocation rate.
     private var sideCap = 1024
     private var sideTs = new Array[Long](sideCap)
     private var sideLen = new Array[Long](sideCap)
     private var sideTool = new Array[String](sideCap)
     private var sideN = 0
     private var sideSorted = true
+    private var sideBuffering = false
+    private var sideFed = 0L
 
     private def bufferEntry(t: Long, l: Long, tool: String): Unit = {
       if (sideN == sideCap) {
@@ -335,6 +355,29 @@ object FusedSweep {
       java.util.Arrays.fill(sideTool.asInstanceOf[Array[AnyRef]], 0, sideN, null)
       sideN = 0
       sideSorted = true
+      sideBuffering = false
+      sideFed = 0L
+    }
+
+    /** Route one side entry: streaming into the frames while ts stays
+      * non-decreasing; buffered (for the drain-end sort) after the
+      * first inversion.
+      */
+    private def feedEntry(t: Long, l: Long, tool: String): Unit = {
+      if (sideBuffering) bufferEntry(t, l, tool)
+      else if (hasPrevData && t < prevDataTsSec) {
+        sideBuffering = true
+        f1h.foreachEntry(bufferEntry) // every fed entry, in fed order
+        f1h.clear(); f24h.clear(); f7d.clear()
+        hasPrevData = false // feedSide re-seeds after the sort
+        bufferEntry(t, l, tool)
+      } else {
+        sideFed += 1L
+        checkCapacity(sideFed + sideN, "committed context events")
+        f1h.add(t, l, tool); f24h.add(t, l, tool); f7d.add(t, l, tool)
+        prevDataTsSec = t
+        hasPrevData = true
+      }
     }
 
     /** Apply every tail/context row of `conv` to the frames; called
@@ -351,7 +394,7 @@ object FusedSweep {
       while (t != null) {
         val cmp = t.getUTF8String(T_CONV).compareTo(conv)
         if (cmp > 0) { tailLookahead = t.copy(); t = null }
-        else { if (cmp == 0) bufferTail(t); t = nextTail() }
+        else { if (cmp == 0) feedTail(t); t = nextTail() }
       }
       var c = nextCtx()
       while (c != null) {
@@ -363,16 +406,19 @@ object FusedSweep {
               throw new IllegalStateException(
                 "fused sweep: scalar context without carried state for conversation " +
                   s"$curConv — context seeds frames only; pass the state delta chain")
-            bufferEntry(c.getLong(C_T), c.getLong(C_LEN),
+            feedEntry(c.getLong(C_T), c.getLong(C_LEN),
               if (c.isNullAt(C_TOOL)) null else c.getUTF8String(C_TOOL).toString)
           }
           c = nextCtx()
         }
       }
-      feedSide()
+      if (sideBuffering) feedSide()
     }
 
-    /** Feed the buffered side entries to the frames in ts order. */
+    /** Feed the buffered side entries to the frames in ts order
+      * (inverted-conversation fallback only; the clean path streamed
+      * them already).
+      */
     private def feedSide(): Unit = {
       if (sideN == 0) return
       val n = sideN
@@ -495,13 +541,13 @@ object FusedSweep {
       hasPrevData = true
     }
 
-    /** Buffer one frame-tail row's (ts, len, tool) entries. The lag
+    /** Feed one frame-tail row's (ts, len, tool) entries. The lag
       * chain and the session counter are NOT touched — the state rows
       * carry them (st_last_ts/role/sessions equal the last committed
       * event's, so the values the old raw-context path would have
       * left behind).
       */
-    private def bufferTail(r: InternalRow): Unit = {
+    private def feedTail(r: InternalRow): Unit = {
       if (!sawState)
         throw new IllegalStateException(
           "fused sweep: frame-tail context without carried state for conversation " +
@@ -512,7 +558,7 @@ object FusedSweep {
       var i = 0
       val n = tsArr.numElements()
       while (i < n) {
-        bufferEntry(tsArr.getLong(i), lenArr.getLong(i),
+        feedEntry(tsArr.getLong(i), lenArr.getLong(i),
           if (toolArr.isNullAt(i)) null else toolArr.getUTF8String(i).toString)
         i += 1
       }

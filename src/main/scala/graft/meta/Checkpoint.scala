@@ -93,6 +93,47 @@ object Checkpoint {
     .withZone(java.time.ZoneOffset.UTC)
   private val TsReadFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"
 
+  private def propsPath(outDir: String) = s"$outDir/_meta/table_props.json"
+
+  /** Effective-context-strategy marker (driver-written, like the
+    * watermarks): `context_tails` records whether EVERY committed slice
+    * of this table wrote frame-tail arrays. A resume whose effective
+    * strategy is `tails` over a table whose committed slices wrote
+    * state-only (rescan) deltas would silently read zero committed
+    * context ([[readFrameTails]] filters every null-tail row) — the
+    * guard in [[graft.Backfill.run]] fails loudly instead, mirroring
+    * the slice-width guard. None = pre-props table (probe the delta
+    * files via [[frameTailsEverWritten]]).
+    */
+  def readContextTailsProp(spark: SparkSession, outDir: String): Option[Boolean] = {
+    val p = new org.apache.hadoop.fs.Path(propsPath(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      if (s.contains("\"context_tails\": true")) Some(true)
+      else if (s.contains("\"context_tails\": false")) Some(false)
+      else None
+    }
+  }
+
+  def writeContextTailsProp(spark: SparkSession, outDir: String, tails: Boolean): Unit =
+    writeDriverFile(spark, propsPath(outDir), s"""{"context_tails": $tails}\n""")
+
+  /** Pre-props fallback for the strategy guard: does the state-delta
+    * table carry ANY frame-tail arrays? An all-empty (or absent) delta
+    * table is vacuously compatible — there is no committed context to
+    * lose. One tiny aggregate over the narrow tail_ts column; runs only
+    * on resume of a table without the props file.
+    */
+  def frameTailsEverWritten(spark: SparkSession, outDir: String): Boolean = {
+    if (!exists(spark, stateDir(outDir))) return true
+    val r = spark.read.schema(deltaFileSchema).parquet(stateDir(outDir))
+      .agg(count(lit(1)), count(col("tail_ts"))).head()
+    r.getLong(0) == 0L || r.getLong(1) > 0L
+  }
+
   /** Slice ids whose watermark row reached `committed`. */
   def committedSlices(spark: SparkSession, outDir: String): Set[String] =
     readWatermarks(spark, outDir)
@@ -125,14 +166,26 @@ object Checkpoint {
     * per-dt stats; the rows land driver-side (tiny) and are written as
     * this slice's lineage JSONL file.
     */
+  /** The ONE explicit column list (names AND order) both lineage paths
+    * hash: the gold schema minus `text`, plus `text_len`. Shared so the
+    * observe-fused hash and the file-based fallback hash are
+    * bit-identical — xxhash64 is order-sensitive, and the read-back
+    * files additionally carry `slice_id`, so deriving the list from
+    * `df.columns` made the two paths' content_hash values incomparable
+    * whenever one slice hit the metrics timeout or the wide-slice
+    * fallback. Excluded columns: `text` so the lineage scan never
+    * decodes the dominant column (text LENGTHS are transitively pinned
+    * by the chars_sum/avg_chars/text_len features in the hash; text
+    * integrity end-to-end by the per-turn text-equality fixtures and
+    * parquet page checksums), and `slice_id` because it names the
+    * writing slice, not the content.
+    */
+  private[graft] val lineageHashColNames: Seq[String] =
+    graft.schema.TranscriptSchema.gold.fieldNames.toSeq.filterNot(_ == "text") :+ "text_len"
+
   def appendLineage(outDir: String, gold: DataFrame, sliceId: String, wallMs: Long)
       : (Long, Option[java.sql.Timestamp]) = {
-    // the hash covers identity + feature columns; text is excluded so
-    // the lineage scan never decodes the dominant column (text LENGTHS
-    // are transitively pinned by the chars_sum/avg_chars features in
-    // the hash; text integrity end-to-end by the per-turn
-    // text-equality fixtures and parquet page checksums)
-    val cols = gold.columns.toSeq.filterNot(_ == "text").map(col)
+    val cols = lineageHashColNames.map(col)
     val stats = gold.groupBy(col("dt"))
       .agg(count(lit(1)).as("row_count"),
         sum(pmod(xxhash64(cols: _*), lit(2147483647L))).as("content_hash"),
@@ -155,7 +208,7 @@ object Checkpoint {
     */
   def lineageObserveExprs(
       gold: DataFrame, days: Seq[java.time.LocalDate]): Seq[org.apache.spark.sql.Column] = {
-    val cols = gold.columns.toSeq.filterNot(_ == "text").map(col)
+    val cols = lineageHashColNames.map(col) // same list as appendLineage, bit-identical hashes
     val h = pmod(xxhash64(cols: _*), lit(2147483647L))
     days.zipWithIndex.flatMap { case (d, i) =>
       val isD = col("dt") === lit(java.sql.Date.valueOf(d.toString))
@@ -237,6 +290,15 @@ object Checkpoint {
     */
   def writeConvStateDelta(outDir: String, sliceStartSec: Long, delta: DataFrame): Unit =
     delta.write.mode(SaveMode.Overwrite).parquet(stateDeltaPath(outDir, sliceStartSec))
+
+  /** Remove a slice's state-delta dir (empty-slice fast path, and the
+    * pre-clear before per-task state side-file writes).
+    */
+  def clearConvStateDelta(spark: SparkSession, outDir: String, sliceStartSec: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stateDeltaPath(outDir, sliceStartSec))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
 
   /** The delta chain strictly before `uptoExclusiveSec`, rebased on the
     * newest complete snapshot: rows (convStateSchema + slice_start),

@@ -108,6 +108,46 @@ class BackfillSpec extends AnyFunSuite {
     assertSame(spark.read.parquet(s"$dir/gold"), singleShot)
   }
 
+  test("empty-slice fast path: sparse backfill commits zero-row watermarks and clears stale dirs") {
+    // bronze restricted to slice 0 — slices 1..4 are empty
+    val sparse = bronze.filter(
+      col("ts") < timestamp_seconds(lit(start + sliceSecs))).cache()
+    val dir = Files.createTempDirectory("bf_sparse").toString
+    val full = Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
+    assert(full.forall(!_.skipped) && full.head.rows > 0 && full.tail.exists(_.rows > 0))
+    // drop everything after slice 0 and re-run on the sparse bronze:
+    // slice 1 pays the full (empty) pipeline once, slices 2..4 take
+    // the probe fast path — and every stale dir from the full run must
+    // be gone so gold equals the sparse single-shot
+    Checkpoint.invalidateFrom(spark, dir, start + sliceSecs)
+    val rerun = Backfill.run(spark, sparse, dir, start, sliceSecs, nSlices)
+    assert(rerun.count(_.skipped) == 1 && rerun.filter(!_.skipped).forall(_.rows == 0))
+    assertSame(spark.read.parquet(s"$dir/gold"),
+      FeatureWindows.gold(SilverBuilder.build(sparse)))
+    // empty slices contribute no state-delta dirs
+    val stateDir = new org.apache.hadoop.fs.Path(s"$dir/_meta/conv_state")
+    val fs = stateDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(stateDir).map(_.getPath.getName).filter(_.startsWith("slice_start="))
+    assert(dirs.forall(_ == s"slice_start=$start"), dirs.mkString(","))
+    // and a resume over the sparse table is a no-op (zero-row slices committed)
+    assert(Backfill.run(spark, sparse, dir, start, sliceSecs, nSlices).forall(_.skipped))
+  }
+
+  test("lineage content_hash is comparable across the observe and file-based fallback paths") {
+    val dir = Files.createTempDirectory("bf_hashpar").toString
+    Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
+    val lin = Checkpoint.readLineage(spark, dir) // observe-fused hashes
+    val id = Backfill.sliceId(start)
+    val goldWritten = spark.read.parquet(s"$dir/gold").filter(col("slice_id") === id)
+    val alt = Files.createTempDirectory("bf_hashpar_alt").toString
+    Checkpoint.appendLineage(alt, goldWritten, id, 1L) // legacy aggregate over the files
+    val altLin = Checkpoint.readLineage(spark, alt)
+    val obs = lin.filter(col("slice_id") === id)
+      .select("dt", "row_count", "content_hash").collect().map(_.toSeq).toSet
+    val fb = altLin.select("dt", "row_count", "content_hash").collect().map(_.toSeq).toSet
+    assert(obs.nonEmpty && obs == fb, s"observe=$obs fallback=$fb")
+  }
+
   test("lineage: per-(slice, dt) rows with counts, hashes, throughput; watermarks committed") {
     val dir = Files.createTempDirectory("bf_lineage").toString
     Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)

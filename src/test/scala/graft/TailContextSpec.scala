@@ -158,6 +158,38 @@ class TailContextSpec extends AnyFunSuite {
       FeatureWindows.gold(SilverBuilder.build(bronze)))
   }
 
+  test("strategy guard: tails resume over a rescan-written table fails loudly; safe switches pass") {
+    val bronze = TranscriptGen.transcripts(spark, nConvs = 10, avgTurns = 15).cache()
+    // rescan-written table (wide slices), extended under tails -> loud failure
+    val dir = Files.createTempDirectory("bf_guard").toString
+    Backfill.run(spark, bronze, dir, start, sliceSecs, 3, contextStrategy = "rescan")
+    val ex = intercept[IllegalArgumentException] {
+      Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices, contextStrategy = "tails")
+    }
+    assert(ex.getMessage.contains("rescan"), ex.getMessage)
+    // same extension under rescan is fine
+    Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices, contextStrategy = "rescan")
+    // tails-written table resumed under tails: fine; then downgraded to
+    // rescan (safe direction); a LATER tails resume of the mixed chain
+    // is rejected — the rescan-era slices wrote no tails
+    val dir2 = Files.createTempDirectory("bf_guard2").toString
+    Backfill.run(spark, bronze, dir2, start, sliceSecs, 2, contextStrategy = "tails")
+    Backfill.run(spark, bronze, dir2, start, sliceSecs, 3, contextStrategy = "tails")
+    Backfill.run(spark, bronze, dir2, start, sliceSecs, 4, contextStrategy = "rescan")
+    intercept[IllegalArgumentException] {
+      Backfill.run(spark, bronze, dir2, start, sliceSecs, nSlices, contextStrategy = "tails")
+    }
+    // pre-props table (no _meta/table_props.json): the probe decides.
+    // Simulate by deleting the props file from a tails-written table.
+    val dir3 = Files.createTempDirectory("bf_guard3").toString
+    Backfill.run(spark, bronze, dir3, start, 2L * 86400, 10, contextStrategy = "tails")
+    val props = new org.apache.hadoop.fs.Path(s"$dir3/_meta/table_props.json")
+    props.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(props, false)
+    Backfill.run(spark, bronze, dir3, start, 2L * 86400, 20, contextStrategy = "tails")
+    assertSame(spark.read.parquet(s"$dir3/gold"),
+      FeatureWindows.gold(SilverBuilder.build(bronze)))
+  }
+
   test("a conversation heavy in one slice returns to the light path with correct frames") {
     // per-slice dispatch: heavy_x brings > thr rows in slice 1 only
     // (700 > 500); at slice 2 just 400 of them remain inside the 7d
