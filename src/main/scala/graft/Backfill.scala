@@ -83,6 +83,63 @@ object Backfill {
     */
   private val MaxStateChain = 4
 
+  /** Output-file sizing targets for the sweep exchange. The sweep
+    * pipeline is NARROW from its hash exchange to the gold write, so
+    * files per slice == sweep partitions; sizing the exchange by data
+    * volume bounds the file count independently of core count (round-4
+    * verdict: the fixed 8x-cores exchange wrote 8k files/slice at 1000
+    * cores regardless of slice size — a 100-slice backfill approached
+    * 10^6 objects). Partition count =
+    *   max(ceil(bytes/MaxFileBytes), min(ceil(bytes/MinFileBytes), 8x cores))
+    *  - huge slices: bytes/128MB partitions — ample parallelism AND
+    *    right-sized files (1 TB slice at 1000 cores: 8192 x 128MB);
+    *  - bench-scale slices (bytes in [8x cores x 16MB, 8x cores x
+    *    128MB]): exactly today's 8x-cores dilution of the mega
+    *    straggler, unchanged scaling numbers;
+    *  - small slices: bytes/8MB partitions at ANY core count — fewer
+    *    concurrent tasks, but each holds <= 8MB, so the lost
+    *    parallelism is over work that is small by construction.
+    * MinFileBytes is 8MB (not a rounder 16/32) so the 1GB-per-slice
+    * scaling-bench regime keeps its measured 8x-cores mega-dilution at
+    * local[16] (bytes/8MB ~ 119 ~ the old 128) — at 16MB that pair
+    * would halve its sweep parallelism and re-grow the mega straggler's
+    * average share by ~13%.
+    */
+  private val MaxFileBytes = 128L << 20
+  private val MinFileBytes = 8L << 20
+
+  /** Sweep partition count for a slice whose output is estimated at
+    * `estBytes` (previous slice's written bytes, or bronze-size/nSlices
+    * on the first slice; None = no usable estimate -> the legacy
+    * 8x-cores default).
+    */
+  private[graft] def sweepPartitions(spark: SparkSession, estBytes: Option[Long]): Int = {
+    val cores8 = spark.conf.get("spark.sql.shuffle.partitions").toInt *
+      FusedSweep.OverPartitionFactor
+    estBytes match {
+      case Some(b) if b > 0 =>
+        val byMax = Math.ceil(b.toDouble / MaxFileBytes).toInt
+        val byMin = Math.ceil(b.toDouble / MinFileBytes).toInt
+        // floor 2, not 1: HashPartitioning(x, 1) degenerates to a
+        // single-partition requirement that a 0-partition (empty-dir)
+        // side-stream scan already satisfies — Spark then elides that
+        // exchange and the sweep's three zipped streams disagree on
+        // partition count. n >= 2 is a real hash requirement, never
+        // elided.
+        Math.max(2, Math.max(byMax, Math.min(byMin, cores8)))
+      case _ => cores8
+    }
+  }
+
+  /** Driver-side recursive byte count of a written dir (one FS summary
+    * call; no Spark job).
+    */
+  private def dirBytes(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(fs.getContentSummary(p).getLength) else None
+  }
+
   /** Run the backfill for contiguous slices covering
     * [firstStartSec, firstStartSec + nSlices * sliceSecs). `bronze` is
     * the raw input (any layout); rows are routed to slices by ts.
@@ -248,6 +305,16 @@ object Backfill {
     // seed the flag across resumes.
     var prevSliceEmpty = false
 
+    // byte size of the last slice this run wrote (sweep-exchange sizing)
+    var lastGoldSliceBytes: Option[Long] = None
+    // first-slice fallback: bronze plan stats / nSlices (file bytes for
+    // parquet scans; the "unknown" Long.MaxValue default is discarded)
+    lazy val bronzeBytesEst: Option[Long] = {
+      val s = bronze.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (s > 0 && s < BigInt(Long.MaxValue) / 4) Some((s / BigInt(Math.max(nSlices, 1))).toLong)
+      else None
+    }
+
     val reports = (0 until nSlices).map { i =>
       val start = firstStartSec + i * sliceSecs
       val end = start + sliceSecs
@@ -272,6 +339,15 @@ object Backfill {
         val rawSlice = bronze.filter(
           bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end))
         val sliceBronze = SilverBuilder.validate(rawSlice)
+
+        // size the sweep exchange (= output file count) from the best
+        // available byte estimate: this run's previous written slice,
+        // a committed neighbor on resume, or bronze-size/nSlices
+        val estBytes = lastGoldSliceBytes
+          .orElse(if (i > 0)
+            dirBytes(spark, s"$goldPath/slice_id=${sliceId(start - sliceSecs)}") else None)
+          .orElse(bronzeBytesEst)
+        val sweepParts = sweepPartitions(spark, estBytes)
 
         // --- carried per-conversation state: the delta chain of all
         // committed slices before this one (one parquet read; the
@@ -327,7 +403,8 @@ object Backfill {
             deltas.filter(!isRouted), emptySilver(spark),
             sliceBronze.filter(!isRouted), sessionGapSecs,
             Some(tails.filter(!isRouted)), lightCtxStream,
-            capacityLimit = skewHeavyThreshold)
+            capacityLimit = skewHeavyThreshold,
+            numPartitions = Some(sweepParts))
           if (routedIds.isEmpty) light
           else {
             // routed context comes from the same narrow gold read; the
@@ -350,7 +427,7 @@ object Backfill {
                 val in = col("conv_id").isin(ids: _*)
                 heavyGold(deltas.filter(in), context.filter(in),
                   sliceBronze.filter(in), start, sessionGapSecs, segmentSecs,
-                  segmentedSessions = segmented)
+                  segmentedSessions = segmented, outPartitions = Some(sweepParts))
             }
             parts.foldLeft(light)((acc, h) =>
               acc.unionByName(h.select(light.columns.map(col): _*)))
@@ -488,6 +565,8 @@ object Backfill {
           case None =>
             phase(id, "lineage")(Checkpoint.appendLineage(outDir, goldWritten, id, wallMs))
         }
+        if (rows > 0L)
+          lastGoldSliceBytes = dirBytes(spark, s"$goldPath/slice_id=$id")
 
         // --- slice meta for later slices: state delta (+ frame tails
         // under the tails strategy), ONE aggregate + ONE write over
@@ -724,7 +803,8 @@ object Backfill {
       start: Long,
       gapSecs: Long,
       segmentSecs: Long,
-      segmentedSessions: Boolean = true): DataFrame = {
+      segmentedSessions: Boolean = true,
+      outPartitions: Option[Int] = None): DataFrame = {
     import graft.gold.FusedSweep
     // same horizon-free re-send drop as the fused light path: a bronze
     // turn at or below the carried last committed turn_idx is a
@@ -786,8 +866,11 @@ object Backfill {
     // stages leave O(span/segment) partitions, and a downstream write
     // inheriting that would serialize the mega's full-width rows on a
     // few tasks (measured: a ~7 s write straggler for 1M rows on 3
-    // tasks). Numbered repartition so AQE leaves it alone.
-    val numParts = ranged.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // tasks). Numbered repartition so AQE leaves it alone; the
+    // backfill passes its size-targeted sweep partition count so the
+    // heavy branch's file count stays bounded too.
+    val numParts = outPartitions.getOrElse(
+      ranged.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     sessioned.withColumn("text_len", length(col("text")).cast("long"))
       .repartition(numParts)
   }

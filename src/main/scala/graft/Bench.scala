@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.gen.TranscriptGen
 import graft.gold.AsOfJoin
 
-/** Benchmark main (driver contract): times every registered query on
+/** Benchmark main (driver contract): times every registered query
+  * (min-of-3, per-query max published as `queries_max`) on
   * SPARK_GRAFT_SF_DIR, plus the two headline metrics from
   * BASELINE.json — gold-layer backfill throughput (turns/sec) over a
   * deterministic synthetic transcript table with planted
@@ -172,16 +173,26 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // registered operator queries on the driver's tables; caches are
-    // cleared between queries so ops that persist intermediates
-    // (dedup shingle sets) can't subsidize a later query's number
+    // registered operator queries on the driver's tables, MIN-OF-3
+    // each (round-4 drivers' single-run numbers showed +36..77% on
+    // untouched code — host contention; the minimum of three
+    // interleaved runs is the engine's number, and the per-query max
+    // is published alongside so a hot run is visible as variance, not
+    // a regression). Caches are cleared between runs so ops that
+    // persist intermediates (dedup shingle sets) can't subsidize a
+    // later run's number — each of the three runs is a cold pass.
+    val maxes = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val (_, secs) = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+      val times = (1 to 3).map { _ =>
+        val (_, secs) = time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+        }
+        spark.catalog.clearCache()
+        secs
       }
-      spark.catalog.clearCache()
-      results(name) = secs
+      results(name) = times.min
+      maxes(name) = times.max
     }
 
     // headline: synthetic backfill throughput + as-of wall time.
@@ -201,12 +212,17 @@ object Bench {
     val (reports, backfillSecs) = time(runBackfill(spark, bronzeDir, outDir))
     val goldRows = reports.map(_.rows).sum
     results("backfill_gold") = backfillSecs
-    val (asofRows, asofSecs) = time(runAsOf(spark, outDir))
+    // as-of is cheap enough to min-of-3 like the query suite
+    val asofRuns = (1 to 3).map(_ => time(runAsOf(spark, outDir)))
+    val asofRows = asofRuns.head._1
+    val asofSecs = asofRuns.map(_._2).min
     results("asof_join") = asofSecs
+    maxes("asof_join") = asofRuns.map(_._2).max
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qmax = maxes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"bench_turns":$turns,"gold_rows":$goldRows,"backfill_turns_per_sec":${(goldRows / backfillSecs).round},"asof_queries":$asofRows,"asof_queries_per_sec":${(asofRows / asofSecs).round}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qmax,"sf":"$sfDir","cpus":$cpus,"bench_turns":$turns,"gold_rows":$goldRows,"backfill_turns_per_sec":${(goldRows / backfillSecs).round},"asof_queries":$asofRows,"asof_queries_per_sec":${(asofRows / asofSecs).round}}""")
     // drop this run's synthetic tables — repeated bench runs otherwise
     // accumulate ~0.5 GB each on the (tmpfs) work dir
     val wp = new org.apache.hadoop.fs.Path(work)

@@ -133,6 +133,25 @@ class BackfillSpec extends AnyFunSuite {
     assert(Backfill.run(spark, sparse, dir, start, sliceSecs, nSlices).forall(_.skipped))
   }
 
+  test("gold file count per slice is bounded by data size, not core count") {
+    // simulate a big cluster: 64 shuffle partitions would give the
+    // legacy 8x exchange 512 files per slice regardless of data size;
+    // the size-targeted exchange writes ~bytes/16MB files (here: ~1)
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val dir = Files.createTempDirectory("bf_filecount").toString
+      Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
+      val goldDir = new org.apache.hadoop.fs.Path(s"$dir/gold")
+      val fs = goldDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(goldDir).filter(_.getPath.getName.startsWith("slice_id=")).foreach { d =>
+        val files = fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
+        assert(files <= 8, s"${d.getPath.getName}: $files files for a ~kB slice")
+      }
+      assertSame(spark.read.parquet(s"$dir/gold"), singleShot)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   test("lineage content_hash is comparable across the observe and file-based fallback paths") {
     val dir = Files.createTempDirectory("bf_hashpar").toString
     Backfill.run(spark, bronze, dir, start, sliceSecs, nSlices)
