@@ -392,6 +392,18 @@ object Backfill {
           case None => Nil
         }
 
+        // per-task state side-files: the sweep tasks emit this slice's
+        // conversation-state delta (and tail arrays in tails mode) as
+        // a side product of the gold WRITE job — the separate
+        // slice-meta aggregate job survives only for the few
+        // skew-routed conversations the sweep never sees
+        val stateSink = graft.meta.StateSideSink(
+          dir = Checkpoint.stateDeltaDir(outDir, start),
+          minKeepSec = end - MaxLookbackSecs,
+          collectTails = useTails,
+          chunkTurns = 65536,
+          conf = new graft.meta.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+
         def buildGold(heavy: Seq[String], inverted: Seq[String]): DataFrame = {
           val routedIds = (heavy ++ inverted).distinct
           val isRouted =
@@ -404,7 +416,8 @@ object Backfill {
             sliceBronze.filter(!isRouted), sessionGapSecs,
             Some(tails.filter(!isRouted)), lightCtxStream,
             capacityLimit = skewHeavyThreshold,
-            numPartitions = Some(sweepParts))
+            numPartitions = Some(sweepParts),
+            stateSink = Some(stateSink))
           if (routedIds.isEmpty) light
           else {
             // routed context comes from the same narrow gold read; the
@@ -525,6 +538,10 @@ object Backfill {
         phase(id, "gold compute+write")(
           while (!done) {
             attempts += 1
+            // pre-clear the slice's delta dir before EVERY attempt: a
+            // failed attempt's side-files (possibly for partitions the
+            // retry's different routing never rewrites) must not survive
+            Checkpoint.clearConvStateDelta(spark, outDir, start)
             try { metrics = writeGoldObserved(buildGold(heavyIds, invertedIds)); done = true }
             catch {
               case e: Throwable if isCapacity(e) && attempts <= 3 =>
@@ -568,14 +585,18 @@ object Backfill {
         if (rows > 0L)
           lastGoldSliceBytes = dirBytes(spark, s"$goldPath/slice_id=$id")
 
-        // --- slice meta for later slices: state delta (+ frame tails
-        // under the tails strategy), ONE aggregate + ONE write over
-        // narrow columns of the written slice (empty slices write no
-        // delta — the chain simply has no entry)
-        if (rows > 0L)
-          phase(id, "slice meta")(Checkpoint.writeConvStateDelta(outDir, start,
-            if (useTails) Checkpoint.sliceMetaFromGold(goldWritten, end, MaxLookbackSecs)
-            else Checkpoint.stateDeltaFromGold(goldWritten)))
+        // --- slice meta for later slices: the LIGHT path's state
+        // delta (+ frame tails under the tails strategy) already
+        // landed as per-task side-files of the gold write — zero extra
+        // jobs. Only skew-routed conversations (absent from the sweep)
+        // still need the aggregate, over their narrow columns only.
+        val routedIds = (heavyIds ++ invertedIds).distinct
+        if (rows > 0L && routedIds.nonEmpty) {
+          val routedGold = goldWritten.filter(col("conv_id").isin(routedIds: _*))
+          phase(id, "routed slice meta")(Checkpoint.appendSliceMetaJson(outDir, start,
+            if (useTails) Checkpoint.sliceMetaFromGold(routedGold, end, MaxLookbackSecs)
+            else Checkpoint.stateDeltaFromGold(routedGold)))
+        }
 
         // --- the committing watermark row (atomic last) ---
         Checkpoint.commitSlice(spark, outDir, id,

@@ -206,6 +206,13 @@ object FusedSweep {
     */
   val OverPartitionFactor: Int = 8
 
+  /** `stateSink`: when set, each sweep task also emits the slice's
+    * per-conversation state delta (and, in tails mode, the trimmed
+    * frame-tail arrays) as a JSON side-file — see
+    * [[graft.meta.StateSideSink]]. This replaces the separate
+    * post-write slice-meta aggregate job for every conversation that
+    * rides the sweep.
+    */
   def gold(
       state: DataFrame,
       context: DataFrame,
@@ -214,7 +221,8 @@ object FusedSweep {
       tails: Option[DataFrame] = None,
       ctxStream: Option[DataFrame] = None,
       capacityLimit: Option[Long] = None,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      stateSink: Option[graft.meta.StateSideSink] = None): DataFrame = {
     val spark = bronze.sparkSession
     val tsType = bronze.schema("ts").dataType
     // OverPartitionFactor x over-partitioning: a conversation is one
@@ -256,11 +264,28 @@ object FusedSweep {
     val gap = gapSecs
     val limit = capacityLimit.getOrElse(Long.MaxValue)
 
+    val sink = stateSink
     val rdd = GraftInternalAccess.toInternalRdd(sorted.toDF())
       .zipPartitions(
         GraftInternalAccess.toInternalRdd(tailSorted.toDF()),
         GraftInternalAccess.toInternalRdd(ctxSorted.toDF())) {
-        (data, tl, cx) => new SweepIterator(data, tl, cx, gap, limit)
+        (data, tl, cx) =>
+          val writer = sink.map { s =>
+            val w = new graft.meta.StateSideWriter(s)
+            // close on task completion: flushes the gzip trailer on
+            // success; on failure leaves a partial the retry overwrites
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => w.close()))
+            w
+          }.orNull
+          val chunkTurns = sink match {
+            // rescan (state-only) needs no chunking: nothing buffers
+            // per chunk, and one row per conversation matches the
+            // legacy stateDeltaFromGold shape
+            case Some(s) if s.collectTails => s.chunkTurns
+            case _ => Int.MaxValue
+          }
+          new SweepIterator(data, tl, cx, gap, limit, writer, chunkTurns)
       }
     GraftInternalAccess.internalCreateDataFrame(spark, rdd, outSchema)
   }
@@ -287,8 +312,28 @@ object FusedSweep {
   private final class SweepIterator(
       in: Iterator[InternalRow], tails: Iterator[InternalRow],
       ctx: Iterator[InternalRow], gapSecs: Long,
-      capacityLimit: Long = Long.MaxValue)
+      capacityLimit: Long = Long.MaxValue,
+      writer: graft.meta.StateSideWriter = null,
+      chunkTurns: Int = Int.MaxValue)
       extends Iterator[InternalRow] {
+
+    // per-conversation accepted-row running state for the side-files:
+    // the last accepted row's identity fields plus its session counter,
+    // flushed per turn-chunk and at conversation end — exactly what the
+    // legacy sliceMetaFromGold aggregate recomputed from the files
+    private var accAny = false
+    private var accTsUs = 0L
+    private var accTurn = 0
+    private var accRole: UTF8String = _
+    private var accSession = 0
+    private var accChunk = 0
+
+    private def flushAcc(): Unit =
+      if (accAny) {
+        writer.flushChunk(curConv.toString, accChunk, accTsUs, accTurn,
+          if (accRole == null) null else accRole.toString, accSession)
+        accAny = false
+      }
 
     // optimistic skew detection (see [[gold]])
     private var convDataRows = 0L
@@ -482,6 +527,8 @@ object FusedSweep {
     private def resetConv(conv: UTF8String): Unit = {
       curConv = conv
       convDataRows = 0L
+      accAny = false
+      accRole = null
       sawState = false
       sessions = 0
       hasPrev = false
@@ -539,6 +586,18 @@ object FusedSweep {
       hasPrev = true
       prevDataTsSec = t
       hasPrevData = true
+      if (k == 2 && writer != null) {
+        val turn = r.getInt(TURN)
+        val chunk = Math.floorDiv(turn, chunkTurns)
+        if (accAny && chunk != accChunk) flushAcc()
+        accChunk = chunk
+        accAny = true
+        accTsUs = r.getLong(TS)
+        accTurn = turn
+        accRole = prevRole
+        accSession = sessions
+        writer.addEntry(t, textLen, tool)
+      }
     }
 
     /** Feed one frame-tail row's (ts, len, tool) entries. The lag
@@ -576,7 +635,10 @@ object FusedSweep {
         val conv = r.getUTF8String(CONV)
         val newConv = curConv == null || !conv.equals(curConv)
         if (newConv && groupOpen) { lookahead = r.copy(); return true }
-        if (newConv) resetConv(conv.copy())
+        if (newConv) {
+          if (writer != null) flushAcc() // previous conversation's final chunk
+          resetConv(conv.copy())
+        }
         val k = r.getInt(K)
         if (k == 0) {
           // state pseudo-row: seed lag chain + session counter (latest
@@ -607,6 +669,7 @@ object FusedSweep {
         }
         r = nextRow()
       }
+      if (writer != null) flushAcc() // EOF: last conversation's final chunk
       groupOpen
     }
 

@@ -129,7 +129,7 @@ object Checkpoint {
     */
   def frameTailsEverWritten(spark: SparkSession, outDir: String): Boolean = {
     if (!exists(spark, stateDir(outDir))) return true
-    val r = spark.read.schema(deltaFileSchema).parquet(stateDir(outDir))
+    val r = readDeltaTable(spark, outDir)
       .agg(count(lit(1)), count(col("tail_ts"))).head()
     r.getLong(0) == 0L || r.getLong(1) > 0L
   }
@@ -291,6 +291,30 @@ object Checkpoint {
   def writeConvStateDelta(outDir: String, sliceStartSec: Long, delta: DataFrame): Unit =
     delta.write.mode(SaveMode.Overwrite).parquet(stateDeltaPath(outDir, sliceStartSec))
 
+  /** Public path accessor for the per-task side-file sink. */
+  def stateDeltaDir(outDir: String, sliceStartSec: Long): String =
+    stateDeltaPath(outDir, sliceStartSec)
+
+  /** Append slice-meta rows (the heavy-path aggregate's output, shaped
+    * like [[sliceMetaFromGold]]/[[stateDeltaFromGold]]) to a slice's
+    * delta dir in the SAME JSON wire format the sweep's per-task
+    * side-files use — one dir, one format, one read. Append mode: the
+    * side-files land during the gold write; this lands after, for the
+    * few skew-routed conversations the sweep never saw.
+    */
+  def appendSliceMetaJson(outDir: String, sliceStartSec: Long, meta: DataFrame): Unit = {
+    val hasTails = meta.columns.contains("tail_ts")
+    val base = meta.select(Seq(
+      col("conv_id"), col("chunk"),
+      unix_micros(col("st_last_ts").cast(TimestampType)).as("st_last_ts_us"),
+      col("st_last_turn_idx"), col("st_last_role"), col("st_sessions")) ++
+      (if (hasTails) Seq(col("tail_ts"), col("tail_len"), col("tail_tool")) else Nil): _*)
+    base.write.mode(SaveMode.Append)
+      .option("compression", "gzip")
+      .option("ignoreNullFields", "true") // null tails -> omitted, like the side-files
+      .json(stateDeltaPath(outDir, sliceStartSec))
+  }
+
   /** Remove a slice's state-delta dir (empty-slice fast path, and the
     * pre-clear before per-task state side-file writes).
     */
@@ -310,7 +334,7 @@ object Checkpoint {
     val snap = latestSnapshotSec(spark, outDir, uptoExclusiveSec)
     val deltas =
       if (exists(spark, stateDir(outDir)))
-        spark.read.schema(deltaFileSchema).parquet(stateDir(outDir))
+        readDeltaTable(spark, outDir, minExclusive = snap, maxExclusive = Some(uptoExclusiveSec))
           .filter(col("slice_start") < uptoExclusiveSec &&
             snap.map(s => col("slice_start") > s).getOrElse(lit(true)))
           .select(convStateSchema.fieldNames.map(col).toSeq :+
@@ -352,6 +376,73 @@ object Checkpoint {
       StructField("tail_len", ArrayType(LongType, containsNull = false), nullable = true),
       StructField("tail_tool", ArrayType(StringType, containsNull = true), nullable = true),
       StructField("slice_start", LongType, nullable = false)))
+
+  /** On-disk schema of the JSON slice-meta side-files the sweep tasks
+    * write ([[StateSideWriter]]): same content as deltaFileSchema with
+    * the timestamp carried as exact epoch micros (timezone-proof wire
+    * format; missing tail fields read as null, matching the
+    * aggregate's `when(size > 0)` null).
+    */
+  private val jsonDeltaFileSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType, nullable = false),
+    StructField("chunk", IntegerType, nullable = true),
+    StructField("st_last_ts_us", LongType, nullable = false),
+    StructField("st_last_turn_idx", IntegerType, nullable = false),
+    StructField("st_last_role", StringType, nullable = true),
+    StructField("st_sessions", IntegerType, nullable = false),
+    StructField("tail_ts", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("tail_len", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("tail_tool", ArrayType(StringType, containsNull = true), nullable = true)))
+
+  private val deltaTableCols: Seq[String] =
+    deltaFileSchema.fieldNames.toSeq.filterNot(_ == "slice_start") :+ "slice_start"
+
+  /** The whole state-delta table, format-dispatched per slice dir:
+    * parquet dirs (older engines; the heavy-path aggregate appends
+    * JSON now, but pre-r5 tables are parquet) and JSON dirs (sweep
+    * side-files + heavy aggregate). Dir names are range-pruned
+    * DRIVER-side first — `(minExclusive, maxExclusive)` on the
+    * slice_start value — so classification lists only the dirs a
+    * chain read actually touches (post-compaction: <= MaxStateChain),
+    * not every dir an old backfill ever wrote. Returns unified
+    * deltaFileSchema columns with slice_start:long.
+    */
+  private[graft] def readDeltaTable(
+      spark: SparkSession, outDir: String,
+      minExclusive: Option[Long] = None, maxExclusive: Option[Long] = None): DataFrame = {
+    val base = stateDir(outDir)
+    val dirP = new org.apache.hadoop.fs.Path(base)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(deltaFileSchema.fields.filterNot(_.name == "slice_start") :+
+        StructField("slice_start", LongType, nullable = false)))
+    if (!fs.exists(dirP)) return empty
+    val sliceDirs = fs.listStatus(dirP).toSeq
+      .filter(_.getPath.getName.startsWith("slice_start="))
+      .flatMap(s => s.getPath.getName.stripPrefix("slice_start=").toLongOption.map(s.getPath -> _))
+      .filter { case (_, sec) =>
+        minExclusive.forall(sec > _) && maxExclusive.forall(sec < _)
+      }
+    if (sliceDirs.isEmpty) return empty
+    val (jsonDirs, pqDirs) = sliceDirs.map(_._1).partition { p =>
+      fs.listStatus(p).exists(_.getPath.getName.contains(".json"))
+    }
+    val reads = Seq(
+      if (pqDirs.nonEmpty)
+        Some(spark.read.schema(deltaFileSchema).option("basePath", base)
+          .parquet(pqDirs.map(_.toString): _*))
+      else None,
+      if (jsonDirs.nonEmpty)
+        Some(spark.read.schema(jsonDeltaFileSchema).option("basePath", base)
+          .json(jsonDirs.map(_.toString): _*)
+          .withColumn("st_last_ts", timestamp_micros(col("st_last_ts_us")))
+          .drop("st_last_ts_us"))
+      else None).flatten
+    reads
+      .map(_.select(deltaTableCols.dropRight(1).map(col) :+
+        col("slice_start").cast("long").as("slice_start"): _*))
+      .reduce(_.unionByName(_))
+  }
 
   /** ONE aggregate deriving both per-slice metadata products from the
     * written gold: the conversation-state delta AND the frame-tail
@@ -464,7 +555,12 @@ object Checkpoint {
       spark: SparkSession, outDir: String, startSec: Long, sliceSecs: Long,
       lookbackSecs: Long): DataFrame =
     if (exists(spark, stateDir(outDir)))
-      spark.read.schema(deltaFileSchema).parquet(stateDir(outDir))
+      readDeltaTable(spark, outDir,
+        minExclusive = Some(startSec - lookbackSecs - sliceSecs),
+        maxExclusive = Some(startSec))
+        // redundant with the driver-side dir pruning, but keeps the
+        // range visible as PartitionFilters in the scan plan (and
+        // guards against racy dir listings on object stores)
         .filter(col("slice_start") > startSec - lookbackSecs - sliceSecs &&
           col("slice_start") < startSec &&
           coalesce(element_at(col("tail_ts"), -1), lit(Long.MinValue)) >=
