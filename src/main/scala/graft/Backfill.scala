@@ -593,7 +593,7 @@ object Backfill {
         val routedIds = (heavyIds ++ invertedIds).distinct
         if (rows > 0L && routedIds.nonEmpty) {
           val routedGold = goldWritten.filter(col("conv_id").isin(routedIds: _*))
-          phase(id, "routed slice meta")(Checkpoint.appendSliceMetaJson(outDir, start,
+          phase(id, "routed slice meta")(Checkpoint.appendSliceMeta(outDir, start,
             if (useTails) Checkpoint.sliceMetaFromGold(routedGold, end, MaxLookbackSecs)
             else Checkpoint.stateDeltaFromGold(routedGold)))
         }

@@ -171,6 +171,8 @@ object FusedSweep {
   /** Gold output schema: silver columns + dt + the eight feature
     * columns, preserving the input's timestamp flavor (ntz/tz).
     */
+  private[gold] def goldSchemaFor(tsType: DataType): StructType = goldSchema(tsType)
+
   private def goldSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("conv_id", StringType, nullable = true),
     StructField("turn_idx", IntegerType, nullable = true),
@@ -208,7 +210,7 @@ object FusedSweep {
 
   /** `stateSink`: when set, each sweep task also emits the slice's
     * per-conversation state delta (and, in tails mode, the trimmed
-    * frame-tail arrays) as a JSON side-file — see
+    * frame-tail arrays) as a parquet side-file — see
     * [[graft.meta.StateSideSink]]. This replaces the separate
     * post-write slice-meta aggregate job for every conversation that
     * rides the sweep.
@@ -330,8 +332,7 @@ object FusedSweep {
 
     private def flushAcc(): Unit =
       if (accAny) {
-        writer.flushChunk(curConv.toString, accChunk, accTsUs, accTurn,
-          if (accRole == null) null else accRole.toString, accSession)
+        writer.flushChunk(curConv, accChunk, accTsUs, accTurn, accRole, accSession)
         accAny = false
       }
 
@@ -596,7 +597,7 @@ object FusedSweep {
         accTurn = turn
         accRole = prevRole
         accSession = sessions
-        writer.addEntry(t, textLen, tool)
+        writer.addEntry(t, textLen, if (r.isNullAt(TOOL)) null else r.getUTF8String(TOOL))
       }
     }
 

@@ -295,25 +295,30 @@ object Checkpoint {
   def stateDeltaDir(outDir: String, sliceStartSec: Long): String =
     stateDeltaPath(outDir, sliceStartSec)
 
+  /** On-disk schema of the sweep's per-task parquet side-files
+    * ([[StateSideWriter]]) — field ORDER is binding for the writer's
+    * InternalRow layout; readers match by name.
+    */
+  val sideFileSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType, nullable = false),
+    StructField("st_last_ts", TimestampType, nullable = false),
+    StructField("st_last_turn_idx", IntegerType, nullable = false),
+    StructField("st_last_role", StringType, nullable = true),
+    StructField("st_sessions", IntegerType, nullable = false),
+    StructField("chunk", IntegerType, nullable = false),
+    StructField("tail_ts", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("tail_len", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("tail_tool", ArrayType(StringType, containsNull = true), nullable = true)))
+
   /** Append slice-meta rows (the heavy-path aggregate's output, shaped
     * like [[sliceMetaFromGold]]/[[stateDeltaFromGold]]) to a slice's
-    * delta dir in the SAME JSON wire format the sweep's per-task
-    * side-files use — one dir, one format, one read. Append mode: the
-    * side-files land during the gold write; this lands after, for the
-    * few skew-routed conversations the sweep never saw.
+    * delta dir — same parquet format as the sweep's per-task
+    * side-files, one dir, one read. Append mode: the side-files land
+    * during the gold write; this lands after, for the few skew-routed
+    * conversations the sweep never saw.
     */
-  def appendSliceMetaJson(outDir: String, sliceStartSec: Long, meta: DataFrame): Unit = {
-    val hasTails = meta.columns.contains("tail_ts")
-    val base = meta.select(Seq(
-      col("conv_id"), col("chunk"),
-      unix_micros(col("st_last_ts").cast(TimestampType)).as("st_last_ts_us"),
-      col("st_last_turn_idx"), col("st_last_role"), col("st_sessions")) ++
-      (if (hasTails) Seq(col("tail_ts"), col("tail_len"), col("tail_tool")) else Nil): _*)
-    base.write.mode(SaveMode.Append)
-      .option("compression", "gzip")
-      .option("ignoreNullFields", "true") // null tails -> omitted, like the side-files
-      .json(stateDeltaPath(outDir, sliceStartSec))
-  }
+  def appendSliceMeta(outDir: String, sliceStartSec: Long, meta: DataFrame): Unit =
+    meta.write.mode(SaveMode.Append).parquet(stateDeltaPath(outDir, sliceStartSec))
 
   /** Remove a slice's state-delta dir (empty-slice fast path, and the
     * pre-clear before per-task state side-file writes).
@@ -377,32 +382,14 @@ object Checkpoint {
       StructField("tail_tool", ArrayType(StringType, containsNull = true), nullable = true),
       StructField("slice_start", LongType, nullable = false)))
 
-  /** On-disk schema of the JSON slice-meta side-files the sweep tasks
-    * write ([[StateSideWriter]]): same content as deltaFileSchema with
-    * the timestamp carried as exact epoch micros (timezone-proof wire
-    * format; missing tail fields read as null, matching the
-    * aggregate's `when(size > 0)` null).
-    */
-  private val jsonDeltaFileSchema: StructType = StructType(Seq(
-    StructField("conv_id", StringType, nullable = false),
-    StructField("chunk", IntegerType, nullable = true),
-    StructField("st_last_ts_us", LongType, nullable = false),
-    StructField("st_last_turn_idx", IntegerType, nullable = false),
-    StructField("st_last_role", StringType, nullable = true),
-    StructField("st_sessions", IntegerType, nullable = false),
-    StructField("tail_ts", ArrayType(LongType, containsNull = false), nullable = true),
-    StructField("tail_len", ArrayType(LongType, containsNull = false), nullable = true),
-    StructField("tail_tool", ArrayType(StringType, containsNull = true), nullable = true)))
-
   private val deltaTableCols: Seq[String] =
     deltaFileSchema.fieldNames.toSeq.filterNot(_ == "slice_start") :+ "slice_start"
 
-  /** The whole state-delta table, format-dispatched per slice dir:
-    * parquet dirs (older engines; the heavy-path aggregate appends
-    * JSON now, but pre-r5 tables are parquet) and JSON dirs (sweep
-    * side-files + heavy aggregate). Dir names are range-pruned
-    * DRIVER-side first — `(minExclusive, maxExclusive)` on the
-    * slice_start value — so classification lists only the dirs a
+  /** The whole state-delta table: parquet slice dirs — sweep
+    * side-files, the heavy-path aggregate's appends, compaction
+    * snapshots, and pre-r5 tables all share the format. Dir names are
+    * range-pruned DRIVER-side first — `(minExclusive, maxExclusive)`
+    * on the slice_start value — so the read lists only the dirs a
     * chain read actually touches (post-compaction: <= MaxStateChain),
     * not every dir an old backfill ever wrote. Returns unified
     * deltaFileSchema columns with slice_start:long.
@@ -424,24 +411,10 @@ object Checkpoint {
         minExclusive.forall(sec > _) && maxExclusive.forall(sec < _)
       }
     if (sliceDirs.isEmpty) return empty
-    val (jsonDirs, pqDirs) = sliceDirs.map(_._1).partition { p =>
-      fs.listStatus(p).exists(_.getPath.getName.contains(".json"))
-    }
-    val reads = Seq(
-      if (pqDirs.nonEmpty)
-        Some(spark.read.schema(deltaFileSchema).option("basePath", base)
-          .parquet(pqDirs.map(_.toString): _*))
-      else None,
-      if (jsonDirs.nonEmpty)
-        Some(spark.read.schema(jsonDeltaFileSchema).option("basePath", base)
-          .json(jsonDirs.map(_.toString): _*)
-          .withColumn("st_last_ts", timestamp_micros(col("st_last_ts_us")))
-          .drop("st_last_ts_us"))
-      else None).flatten
-    reads
-      .map(_.select(deltaTableCols.dropRight(1).map(col) :+
-        col("slice_start").cast("long").as("slice_start"): _*))
-      .reduce(_.unionByName(_))
+    spark.read.schema(deltaFileSchema).option("basePath", base)
+      .parquet(sliceDirs.map(_._1.toString): _*)
+      .select(deltaTableCols.dropRight(1).map(col) :+
+        col("slice_start").cast("long").as("slice_start"): _*)
   }
 
   /** ONE aggregate deriving both per-slice metadata products from the

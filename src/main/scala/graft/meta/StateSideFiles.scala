@@ -1,10 +1,17 @@
 package graft.meta
 
-import java.io.{BufferedWriter, ObjectInputStream, ObjectOutputStream, OutputStreamWriter}
-import java.util.zip.GZIPOutputStream
+import java.io.{ObjectInputStream, ObjectOutputStream}
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.TaskContext
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-task state side-files: the fused sweep emits each slice's
   * conversation-state delta (and, under the tails context strategy,
@@ -20,22 +27,24 @@ import org.apache.spark.TaskContext
   * (ts, turn_idx, role, session) and the accepted events inside the
   * lookback of slice end. Emitting them inline costs O(1) per row.
   *
-  * Files are JSON-lines gzip, one per sweep task, with DETERMINISTIC
-  * names (`part-<partitionId>.json.gz`): a task retry overwrites its
-  * own file with identical content (the sweep input partition is a
-  * deterministic sort of a hash partition). The driver pre-clears the
-  * slice's delta dir before each write attempt, so files from a
-  * failed attempt with different routing/partitioning never survive.
-  * Like the v2 output committer the data write uses in bench mode,
-  * this assumes no task SPECULATION (two attempts racing one path) —
-  * speculation is off by default and incompatible with v2 commits
-  * anyway. Readers ([[Checkpoint.readConvStateDeltas]] /
-  * [[Checkpoint.readFrameTails]]) dispatch per slice dir between this
-  * JSON format and the parquet dirs older engines (and the heavy-path
-  * aggregate) write.
+  * Format: PARQUET, written task-side through Spark's own
+  * `ParquetWriteSupport` (InternalRow -> parquet; the class is public
+  * API of the spark-sql jar). The first cut used JSON-lines gzip —
+  * at 20M conversations the delta chain is tens of millions of rows,
+  * and parsing that much JSON on every chain read cost ~17 s in the
+  * scaling bench's as-of dispatch alone; parquet keeps chain reads
+  * columnar-fast and lets the heavy-path aggregate append into the
+  * SAME directory with the same format.
   *
-  * Timestamps are written as epoch MICROS (`st_last_ts_us`) — exact
-  * under both timestamp flavors and immune to timezone formatting.
+  * Files have DETERMINISTIC names (`part-<partitionId>.parquet`): a
+  * task retry overwrites its own file with identical content (the
+  * sweep input partition is a deterministic sort of a hash
+  * partition). The driver pre-clears the slice's delta dir before
+  * each write attempt, so files from a failed attempt with different
+  * routing/partitioning never survive. Like the v2 output committer
+  * the data write uses in bench mode, this assumes no task
+  * SPECULATION (two attempts racing one path) — speculation is off by
+  * default and incompatible with v2 commits anyway.
   */
 final case class StateSideSink(
     dir: String,
@@ -63,44 +72,31 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
   }
 }
 
-object StateSideWriter {
-  /** JSON string escape (same rules as the driver-written watermark
-    * files).
-    */
-  def jstr(s: String): String =
-    if (s == null) "null"
-    else {
-      val b = new java.lang.StringBuilder(s.length + 2)
-      b.append('"')
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '"') b.append("\\\"")
-        else if (c == '\\') b.append("\\\\")
-        else if (c < ' ') b.append(f"\\u${c.toInt}%04x")
-        else b.append(c)
-        i += 1
-      }
-      b.append('"')
-      b.toString
-    }
+private[meta] object StateSideWriter {
+  /** ParquetWriter.Builder plumbing for InternalRow payloads. */
+  final class RowWriterBuilder(path: org.apache.hadoop.fs.Path)
+      extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](path) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
 }
 
 /** One sweep task's side-file writer. Opened lazily on the first state
   * row (empty partitions create no file); closed by a task-completion
-  * listener (flushes the gzip trailer on success, leaves an
-  * overwrite-on-retry partial on failure).
+  * listener (commits the parquet footer on success; a failed task's
+  * partial is overwritten on retry).
   */
 final class StateSideWriter(sink: StateSideSink) {
-  private var out: BufferedWriter = _
+  private var out: ParquetWriter[InternalRow] = _
   // tail-entry buffer of the CURRENT chunk (bounded by chunkTurns)
   private var cap = 256
   private var ts = new Array[Long](cap)
   private var len = new Array[Long](cap)
-  private var tool = new Array[String](cap)
+  private var tool = new Array[AnyRef](cap) // UTF8String | null
   private var n = 0
 
-  def addEntry(t: Long, l: Long, tl: String): Unit =
+  def addEntry(t: Long, l: Long, tl: UTF8String): Unit =
     if (sink.collectTails && t >= sink.minKeepSec) {
       if (n == cap) {
         val nc = cap * 2
@@ -109,56 +105,58 @@ final class StateSideWriter(sink: StateSideSink) {
         tool = java.util.Arrays.copyOf(tool, nc)
         cap = nc
       }
-      ts(n) = t; len(n) = l; tool(n) = tl
+      ts(n) = t; len(n) = l; tool(n) = if (tl == null) null else tl.copy()
       n += 1
     }
 
   /** Write one (conv, chunk) row: the chunk's running state plus its
-    * buffered live entries (omitted when none — the JSON reader
-    * surfaces them as null, matching the aggregate's `when(size > 0)`
-    * null). Entries were accepted in turn order with non-decreasing
-    * ts, i.e. already in the aggregate's sort_array order.
+    * buffered live entries (null arrays when none, matching the
+    * aggregate's `when(size > 0)` null). Entries were accepted in turn
+    * order with non-decreasing ts, i.e. already in the aggregate's
+    * sort_array order.
     */
-  def flushChunk(convId: String, chunk: Int, lastTsUs: Long, lastTurn: Int,
-      lastRole: String, sessions: Int): Unit = {
+  def flushChunk(convId: UTF8String, chunk: Int, lastTsUs: Long, lastTurn: Int,
+      lastRole: UTF8String, sessions: Int): Unit = {
     ensureOpen()
-    val b = new java.lang.StringBuilder(64 + 24 * n)
-    b.append("{\"conv_id\": ").append(StateSideWriter.jstr(convId))
-      .append(", \"chunk\": ").append(chunk)
-      .append(", \"st_last_ts_us\": ").append(lastTsUs)
-      .append(", \"st_last_turn_idx\": ").append(lastTurn)
-      .append(", \"st_last_role\": ").append(StateSideWriter.jstr(lastRole))
-      .append(", \"st_sessions\": ").append(sessions)
+    val row = new Array[Any](9)
+    row(0) = convId
+    row(1) = lastTsUs
+    row(2) = lastTurn
+    row(3) = lastRole
+    row(4) = sessions
+    row(5) = chunk
     if (n > 0) {
-      b.append(", \"tail_ts\": [")
-      var i = 0
-      while (i < n) { if (i > 0) b.append(','); b.append(ts(i)); i += 1 }
-      b.append("], \"tail_len\": [")
-      i = 0
-      while (i < n) { if (i > 0) b.append(','); b.append(len(i)); i += 1 }
-      b.append("], \"tail_tool\": [")
-      i = 0
-      while (i < n) {
-        if (i > 0) b.append(',')
-        b.append(StateSideWriter.jstr(tool(i)))
-        i += 1
-      }
-      b.append(']')
+      row(6) = new GenericArrayData(java.util.Arrays.copyOf(ts, n))
+      row(7) = new GenericArrayData(java.util.Arrays.copyOf(len, n))
+      row(8) = new GenericArrayData(java.util.Arrays.copyOf(tool, n))
     }
-    b.append("}\n")
-    out.write(b.toString)
-    java.util.Arrays.fill(tool.asInstanceOf[Array[AnyRef]], 0, n, null)
+    out.write(new GenericInternalRow(row))
+    java.util.Arrays.fill(tool, 0, n, null)
     n = 0
   }
 
   private def ensureOpen(): Unit =
     if (out == null) {
       val pid = TaskContext.getPartitionId()
-      val p = new org.apache.hadoop.fs.Path(f"${sink.dir}%s/part-$pid%05d.json.gz")
-      val fs = p.getFileSystem(sink.conf.value)
-      out = new BufferedWriter(new OutputStreamWriter(
-        new GZIPOutputStream(fs.create(p, true)),
-        java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+      val p = new org.apache.hadoop.fs.Path(f"${sink.dir}%s/part-$pid%05d.parquet")
+      // a private conf copy per writer: setSchema mutates it
+      val conf = new Configuration(sink.conf.value)
+      ParquetWriteSupport.setSchema(Checkpoint.sideFileSchema, conf)
+      // ParquetWriteSupport/SparkToParquetSchemaConverter read these
+      // SQLConf keys from the Configuration with NO defaults (the
+      // normal write path copies them in via prepareWrite)
+      conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+      conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "true")
+      conf.set("spark.sql.session.timeZone", "UTC")
+      conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+      out = new StateSideWriter.RowWriterBuilder(p)
+        .withConf(conf)
+        .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
     }
 
   def close(): Unit =
