@@ -825,7 +825,10 @@ object Backfill {
       gapSecs: Long,
       segmentSecs: Long,
       segmentedSessions: Boolean = true,
-      outPartitions: Option[Int] = None): DataFrame = {
+      outPartitions: Option[Int] = None,
+      // fused one-exchange segmented path (SegmentedSweep) vs the
+      // legacy three-stage stack; env opt-out for A/B probes
+      fusedSegmented: Boolean = !sys.env.get("SPARK_GRAFT_FUSED_HEAVY").contains("0")): DataFrame = {
     import graft.gold.FusedSweep
     // same horizon-free re-send drop as the fused light path: a bronze
     // turn at or below the carried last committed turn_idx is a
@@ -860,6 +863,20 @@ object Backfill {
       .filter(col("_k") === 2).drop("_k")
 
     val ctxF = ctx.withColumn("_fw_len", ctxLen).drop("text_len")
+
+    // FUSED segmented path (round-5, NEXT.md lead 1): frames + lag +
+    // sessions in one full-width (conv, seg) exchange + one narrow
+    // summary pass, replacing the three-stage chunked/two-pass stack
+    // below. Only for contract-clean conversations — the ts-inverted
+    // reroute keeps the turn-ordered single-window session stage.
+    if (segmentedSessions && fusedSegmented) {
+      val state = Checkpoint.latestConvState(deltas)
+        .select(col("conv_id"), col("st_last_ts"), col("st_last_role"), col("st_sessions"))
+      return graft.gold.SegmentedSweep.gold(
+        silverH, ctxF, state, bronzeNew,
+        gapSecs, segmentSecs, numPartitions = outPartitions)
+    }
+
     val silverF = silverH.withColumn("_fw_len",
       coalesce(length(col("text")).cast("long"), lit(0L)))
     val withContext = ctxF
