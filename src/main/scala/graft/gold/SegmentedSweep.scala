@@ -86,7 +86,6 @@ object SegmentedSweep {
     require(segmentSecs > 0)
     val spark = silverH.sparkSession
     val tsType = silverH.schema("ts").dataType
-    val reach = ((lookbackSecs + segmentSecs - 1) / segmentSecs).toInt
 
     // ---- narrow summary pass -> per-(conv, seg) chain seeds ----
     val tsSec = unix_timestamp(col("ts"))
@@ -140,35 +139,7 @@ object SegmentedSweep {
     val seedsBc = spark.sparkContext.broadcast(seeds)
 
     // ---- the one full-width exchange ----
-    val ownerSeg = floor(tsSec / segmentSecs).cast("long")
-    val maxOwnerSeg = seeds.keysIterator.map(_._2).maxOption.getOrElse(Long.MinValue)
-
-    def cols(seg: org.apache.spark.sql.Column, k: Int, text: org.apache.spark.sql.Column,
-        len: org.apache.spark.sql.Column) = Seq(
-      col("conv_id"), seg.as("_seg"), lit(k).as("_k"), col("turn_idx"),
-      col("role"), text.as("text"), col("tool"), col("ts"), len.as("_len"))
-
-    val owners = silverH.select(cols(ownerSeg, 2, col("text"),
-      coalesce(length(col("text")).cast("long"), lit(0L))): _*)
-    // slice rows feed the FOLLOWING reach segments (their own segment
-    // sees them as owners); committed context feeds its own segment
-    // too (the slice's first segment may straddle the boundary)
-    val feederSeg = explode(sequence(ownerSeg + 1, ownerSeg + reach)).as("_seg")
-    val sliceFeeders = silverH
-      .select(cols(ownerSeg, 1, lit(null).cast("string"),
-        coalesce(length(col("text")).cast("long"), lit(0L))).patch(1, Seq(feederSeg), 1): _*)
-      .filter(col("_seg") <= maxOwnerSeg)
-    val ctxLen = coalesce(col("_fw_len"), length(col("text")).cast("long"), lit(0L))
-    val ctxOwnSeg = ctx.select(cols(ownerSeg, 1, lit(null).cast("string"), ctxLen): _*)
-      .filter(col("_seg") <= maxOwnerSeg)
-    val ctxFeeders = ctx
-      .select(cols(ownerSeg, 1, lit(null).cast("string"), ctxLen).patch(1, Seq(feederSeg), 1): _*)
-      .filter(col("_seg") <= maxOwnerSeg)
-
-    val unioned = owners
-      .unionByName(sliceFeeders)
-      .unionByName(ctxOwnSeg)
-      .unionByName(ctxFeeders)
+    val unioned = exchangeInput(silverH, ctx, seeds.keys.toSeq, segmentSecs, lookbackSecs)
     val numParts = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val sorted = unioned
@@ -181,6 +152,59 @@ object SegmentedSweep {
       new SegSweepIterator(it, gap, seedsBc.value)
     }
     GraftInternalAccess.internalCreateDataFrame(spark, rdd, outSchema)
+  }
+
+  /** Rows entering the one full-width exchange: owner rows at their own
+    * segment, plus narrow feeders (no text) replicated ONLY into
+    * segments where the same conversation actually has owner rows — a
+    * broadcast left-semi join on the summary pass's (conv, seg) keys
+    * (the skew tail by construction, same cardinality bound as the
+    * chain-seed broadcast). A feeder landing in an owner-less segment
+    * can never contribute to an emitted row; the previous
+    * global-max-segment filter still shipped short conversations' dead
+    * feeders into every later segment any OTHER routed conversation
+    * owned.
+    *
+    * Slice rows feed the FOLLOWING `reach` segments (their own segment
+    * sees them as owners); committed context rows feed their own
+    * segment too, because the slice's first segment may straddle the
+    * committed boundary.
+    */
+  private[graft] def exchangeInput(
+      silverH: DataFrame,
+      ctx: DataFrame,
+      ownerSegs: Seq[(String, Long)],
+      segmentSecs: Long,
+      lookbackSecs: Long): DataFrame = {
+    val spark = silverH.sparkSession
+    import spark.implicits._
+    val reach = ((lookbackSecs + segmentSecs - 1) / segmentSecs).toInt
+    val ownerSeg = floor(unix_timestamp(col("ts")) / segmentSecs).cast("long")
+    val ownerSegsDf = broadcast(ownerSegs.toDF("conv_id", "_seg"))
+    def prune(df: DataFrame): DataFrame =
+      df.join(ownerSegsDf, Seq("conv_id", "_seg"), "left_semi")
+
+    def cols(seg: org.apache.spark.sql.Column, k: Int, text: org.apache.spark.sql.Column,
+        len: org.apache.spark.sql.Column) = Seq(
+      col("conv_id"), seg.as("_seg"), lit(k).as("_k"), col("turn_idx"),
+      col("role"), text.as("text"), col("tool"), col("ts"), len.as("_len"))
+
+    val owners = silverH.select(cols(ownerSeg, 2, col("text"),
+      coalesce(length(col("text")).cast("long"), lit(0L))): _*)
+    val feederSeg = explode(sequence(ownerSeg + 1, ownerSeg + reach)).as("_seg")
+    val sliceFeeders = prune(silverH
+      .select(cols(ownerSeg, 1, lit(null).cast("string"),
+        coalesce(length(col("text")).cast("long"), lit(0L))).patch(1, Seq(feederSeg), 1): _*))
+    val ctxLen = coalesce(col("_fw_len"), length(col("text")).cast("long"), lit(0L))
+    val ctxOwnSeg = prune(
+      ctx.select(cols(ownerSeg, 1, lit(null).cast("string"), ctxLen): _*))
+    val ctxFeeders = prune(ctx
+      .select(cols(ownerSeg, 1, lit(null).cast("string"), ctxLen).patch(1, Seq(feederSeg), 1): _*))
+
+    owners
+      .unionByName(sliceFeeders)
+      .unionByName(ctxOwnSeg)
+      .unionByName(ctxFeeders)
   }
 
   /** One buffered owner row of the current second's tie group. */

@@ -91,6 +91,40 @@ class SegmentedSweepSpec extends AnyFunSuite {
     bronze.unpersist()
   }
 
+  test("feeders replicate only into the conversation's OWN owner segments") {
+    val segSecs = 86400L
+    val s0 = start / segSecs // start is day-aligned
+    def silverRow(conv: String, turn: Int, sec: Long) =
+      (conv, turn, "user", s"text $turn", Option.empty[String], sec)
+    // "short" owns only segment s0; "long" owns s0 and s0+3
+    val silverH = ((0 until 10).map(i => silverRow("short", i, start + i)) ++
+      (0 until 5).map(i => silverRow("long", i, start + 1000 + i)) ++
+      (0 until 4).map(i => silverRow("long", 5 + i, start + 3 * segSecs + i)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool_s", "sec")
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool_s").as("tool"), timestamp_seconds(col("sec")).as("ts"))
+    // committed context the day before the slice (segment s0-1)
+    val ctx = Seq(("long", -1, start - 3600), ("short", -1, start - 7200))
+      .toDF("conv_id", "turn_idx", "sec")
+      .select(col("conv_id"), col("turn_idx"), lit("user").as("role"),
+        lit(null).cast("string").as("text"), lit(null).cast("string").as("tool"),
+        timestamp_seconds(col("sec")).as("ts"), lit(7L).as("_fw_len"))
+    val ownerSegs = Seq(("short", s0), ("long", s0), ("long", s0 + 3))
+
+    val input = graft.gold.SegmentedSweep.exchangeInput(
+      silverH, ctx, ownerSegs, segSecs, lookbackSecs = 604800L)
+    val byK = input.groupBy("_k").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byK(2) == 19L, "every slice row is an owner exactly once")
+    // feeders: long's 5 s0-rows reach s0+3 (5); ctx long row reaches
+    // s0 and s0+3 (2); ctx short row reaches s0 (1). short's slice
+    // rows ship NOTHING (it owns no later segment) — the old
+    // global-max filter would have replicated them into s0+1..s0+3.
+    assert(byK(1) == 8L, s"pruned feeder count (got $byK)")
+    val shortFeeders = input.filter(col("_k") === 1 && col("conv_id") === "short").count()
+    assert(shortFeeders == 1L, "short ships only its own ctx feeder")
+  }
+
   test("backfill with mid-size routed conversations == single-shot (fused heavy, both strategies)") {
     val bronze = TranscriptGen.transcripts(spark, nConvs = 15, avgTurns = 12,
       megaConvs = 2, megaTurns = 3000, injectAnomalies = true)
