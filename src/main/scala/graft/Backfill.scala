@@ -37,7 +37,48 @@ object Backfill {
 
   final case class SliceReport(sliceId: String, rows: Long, wallMs: Long, skipped: Boolean)
 
-  private val MaxLookbackSecs = 604800L // the widest feature frame (7d)
+  private[graft] val MaxLookbackSecs = 604800L // the widest feature frame (7d)
+
+  /** CORE-AWARE heavy dispatch (round-6): the absolute
+    * `skewHeavyThreshold` was calibrated at low parallelism where
+    * cpu-sum bounds the wall; at high core counts the wall-optimal rule
+    * is RELATIVE — a conversation straggles the sweep stage as soon as
+    * its rows exceed a small multiple of the average sweep-partition
+    * rows (the stage wall is max(task), not sum/cores). Effective
+    * threshold = min(absolute, max(floor, alpha x sliceRows/sweepParts)):
+    * at 1000 cores a 10M-row conversation routes off the light sweep
+    * even though it is far under the absolute 10^7 crossover, while
+    * small slices (rows/partition tiny) keep the floor so the segmented
+    * path's ~1-2 s fixed cost is never paid to dodge a sub-second
+    * straggler. alpha = 2 targets the straggler done-bar (max sweep
+    * task <= ~2x median); SPARK_GRAFT_SKEW_ALPHA is the dev A/B knob.
+    */
+  private val SkewAlpha: Long =
+    sys.env.get("SPARK_GRAFT_SKEW_ALPHA").map(_.toLong).getOrElse(2L)
+
+  /** Routing below this many rows never pays: the segmented path's
+    * fixed cost (summary pass + seed broadcast + its own exchange)
+    * exceeds any possible straggle saving. Also keeps the relative rule
+    * inert in small-data specs, whose dispatch behavior is pinned by
+    * their explicit absolute thresholds.
+    */
+  private val MinRouteRows = 100000L
+
+  /** (effective dispatch threshold, relative-bound-is-binding) for a
+    * slice: min(absolute, max(floor, alpha x rowsEst/sweepParts)).
+    * When the relative bound binds, detection runs UPFRONT (the lazy
+    * capacity-exception protocol would waste a near-complete optimistic
+    * sweep attempt on every first mega slice).
+    */
+  private[graft] def effectiveSkewThreshold(
+      absolute: Option[Long],
+      rowsEst: Option[Long],
+      sweepParts: Int): (Option[Long], Boolean) = (absolute, rowsEst) match {
+    case (Some(a), Some(r)) =>
+      val rel = Math.max(MinRouteRows, SkewAlpha * r / Math.max(sweepParts, 1))
+      (Some(Math.min(a, rel)), rel < a)
+    case (a, _) => (a, false)
+  }
 
   def sliceId(startSec: Long): String = s"s$startSec"
 
@@ -93,7 +134,7 @@ object Backfill {
     *   max(ceil(bytes/MaxFileBytes), min(ceil(bytes/MinFileBytes), 8x cores))
     *  - huge slices: bytes/128MB partitions — ample parallelism AND
     *    right-sized files (1 TB slice at 1000 cores: 8192 x 128MB);
-    *  - bench-scale slices (bytes in [8x cores x 16MB, 8x cores x
+    *  - bench-scale slices (bytes in [8x cores x 8MB, 8x cores x
     *    128MB]): exactly today's 8x-cores dilution of the mega
     *    straggler, unchanged scaling numbers;
     *  - small slices: bytes/8MB partitions at ANY core count — fewer
@@ -255,9 +296,15 @@ object Backfill {
     // committed gold files directly — but downgrades the property, so
     // a later tails resume of the mixed chain is correctly rejected.
     val persistedTails = Checkpoint.readContextTailsProp(spark, outDir)
-    if (committed.nonEmpty && useTails) {
-      val tailsAvailable =
-        persistedTails.getOrElse(Checkpoint.frameTailsEverWritten(spark, outDir))
+    // an all-empty committed history has no context to lose — the
+    // guard only bites when committed DATA exists (ADVICE r5: a false
+    // property left by a failed/no-op rescan invocation must not
+    // reject a tails resume of an empty table)
+    val committedNonEmptySecs: Set[Long] =
+      wmRows.filter(_.getLong(3) > 0L).map(_.getLong(1)).toSet
+    if (committedNonEmptySecs.nonEmpty && useTails) {
+      val tailsAvailable = persistedTails.getOrElse(
+        Checkpoint.frameTailsEverWritten(spark, outDir, committedNonEmptySecs))
       if (!tailsAvailable)
         throw new IllegalArgumentException(
           "effective contextStrategy is 'tails' but the committed slices of this table " +
@@ -265,8 +312,6 @@ object Backfill {
             "arrays — lookback frames would silently lose all committed context. Resume " +
             "with --context rescan, or rebuild the table from scratch under tails.")
     }
-    Checkpoint.writeContextTailsProp(spark, outDir,
-      useTails && (committed.isEmpty || persistedTails.getOrElse(useTails)))
 
     // Table-version guard (resume across engine upgrades): the frame
     // stages read the persisted text_len of committed gold; a table
@@ -314,6 +359,16 @@ object Backfill {
       if (s > 0 && s < BigInt(Long.MaxValue) / 4) Some((s / BigInt(Math.max(nSlices, 1))).toLong)
       else None
     }
+    // row count of the last written/committed slice (relative-dispatch
+    // sizing); first-slice fallback is bronzeRows/nSlices — a parquet
+    // count(*) is footer-metadata-only, one cheap job per run, and only
+    // taken when the dispatch is enabled and no neighbor estimate exists
+    var lastGoldSliceRows: Option[Long] = None
+    lazy val bronzeRowsPerSlice: Option[Long] =
+      try {
+        val n = bronze.count()
+        if (n > 0) Some(Math.max(1L, n / Math.max(nSlices, 1))) else None
+      } catch { case _: Throwable => None }
 
     val reports = (0 until nSlices).map { i =>
       val start = firstStartSec + i * sliceSecs
@@ -323,6 +378,7 @@ object Backfill {
 
       if (committed.contains(id)) {
         prevSliceEmpty = committedRowCounts.get(id).contains(0L)
+        committedRowCounts.get(id).filter(_ > 0L).foreach(r => lastGoldSliceRows = Some(r))
         SliceReport(id, 0L, 0L, skipped = true)
       } else if (prevSliceEmpty && phase(id, "empty probe")(bronze.filter(
           bronze("ts") >= tsLit(bronze, start) && bronze("ts") < tsLit(bronze, end)).isEmpty)) {
@@ -367,27 +423,52 @@ object Backfill {
         def ctxGold: DataFrame = contextRead(spark, goldPath, id, start, sliceSecs,
           Some(goldFileSchema))
 
+        // --- the EFFECTIVE dispatch threshold: the caller's absolute
+        // crossover, tightened by the core-aware relative rule when a
+        // slice-row estimate exists (previous written/committed slice,
+        // or bronzeRows/nSlices on the first slice). relThr scales with
+        // avg rows per sweep partition, so the rule stays correct at
+        // any core count / slice size pairing.
+        val rowsEst: Option[Long] =
+          if (skewHeavyThreshold.isEmpty) None
+          else lastGoldSliceRows.orElse(bronzeRowsPerSlice)
+        // when the relative bound is the binding one, detect UPFRONT:
+        // the lazy capacity-exception protocol would fire on every
+        // first slice of a mega and waste a near-complete optimistic
+        // sweep attempt; one narrow map-combined count job (~2 orders
+        // cheaper than the sweep) per slice is the better trade. The
+        // lazy path (zero detection jobs) remains for the absolute
+        // regime, where crossings are rare by calibration.
+        val (effThr, upfrontRelative) =
+          effectiveSkewThreshold(skewHeavyThreshold, rowsEst, sweepParts)
+
         // --- skew dispatch on PER-SLICE cost: rows this slice, or
         // committed lookback events (what one sweep task would have to
         // stream for the conversation). Heavy ids are the skew TAIL —
-        // tiny by construction — so one map-combined count + driver
-        // collect beats re-planning broadcast joins into all split
-        // branches. Counts read narrow columns only. Detection is
-        // LAZY by default: the sweep itself throws a marked capacity
-        // exception when a conversation crosses the threshold, and
-        // only then does this explicit count job run — the common
-        // all-light slice pays zero detection jobs.
-        def detectHeavy(): Seq[String] = skewHeavyThreshold match {
+        // and are additionally CAPPED at the biggest offenders (the
+        // heavy path saturates past ~2x cores conversations; an
+        // un-routed above-threshold conversation still computes
+        // correctly on the light sweep, it merely straggles) — so one
+        // map-combined count + driver collect beats re-planning
+        // broadcast joins into all split branches. Counts read narrow
+        // columns only.
+        def detectHeavy(): Seq[String] = effThr match {
           case Some(thr) => phase(id, "heavy ids")({
+            val cap = Math.max(64, 2 * spark.sparkContext.defaultParallelism)
             val sliceCnt = rawSlice.groupBy(col("conv_id")).count()
             val ctxCnt =
               if (useTails)
                 tails.groupBy(col("conv_id")).agg(sum(size(col("tail_ts"))).as("count"))
               else ctxGold.groupBy(col("conv_id")).count()
-            sliceCnt.filter(col("count") > thr).select(col("conv_id"))
-              .unionByName(ctxCnt.filter(col("count") > thr).select(col("conv_id")))
-              .distinct()
-              .collect().map(_.getString(0)).toSeq
+            val cand = sliceCnt.filter(col("count") > thr)
+              .unionByName(ctxCnt.filter(col("count") > thr))
+              .groupBy(col("conv_id")).agg(max(col("count")).as("count"))
+              .orderBy(col("count").desc, col("conv_id"))
+              .limit(cap + 1).collect()
+            if (cand.length > cap)
+              println(s"[backfill] $id: ${cand.length - 1}+ conversations above the " +
+                s"dispatch threshold $thr — routing only the $cap largest")
+            cand.take(cap).map(_.getString(0)).toSeq
           })
           case None => Nil
         }
@@ -415,7 +496,7 @@ object Backfill {
             deltas.filter(!isRouted), emptySilver(spark),
             sliceBronze.filter(!isRouted), sessionGapSecs,
             Some(tails.filter(!isRouted)), lightCtxStream,
-            capacityLimit = skewHeavyThreshold,
+            capacityLimit = effThr,
             numPartitions = Some(sweepParts),
             stateSink = Some(stateSink))
           if (routedIds.isEmpty) light
@@ -528,7 +609,8 @@ object Backfill {
         // Zero cost on the contract-clean, all-light path.
         var heavyIds: Seq[String] =
           if (skewHeavyThreshold.isDefined &&
-              (skewDetection == "upfront" || (carriedHeavy.nonEmpty && i >= heavyExpiry))) {
+              (skewDetection == "upfront" || upfrontRelative ||
+                (carriedHeavy.nonEmpty && i >= heavyExpiry))) {
             val d = detectHeavy(); heavyExpiry = i + heavyReach; d
           } else carriedHeavy
         var invertedIds: Seq[String] = Nil
@@ -582,8 +664,10 @@ object Backfill {
           case None =>
             phase(id, "lineage")(Checkpoint.appendLineage(outDir, goldWritten, id, wallMs))
         }
-        if (rows > 0L)
+        if (rows > 0L) {
           lastGoldSliceBytes = dirBytes(spark, s"$goldPath/slice_id=$id")
+          lastGoldSliceRows = Some(rows)
+        }
 
         // --- slice meta for later slices: the LIGHT path's state
         // delta (+ frame tails under the tails strategy) already
@@ -609,6 +693,15 @@ object Backfill {
         SliceReport(id, rows, wallMs, skipped = false)
       }
     }
+    // context-strategy property, written AFTER the loop (ADVICE r5): a
+    // no-op resume (nothing new committed) or a run that fails before
+    // committing anything must not downgrade a true property — only a
+    // run that actually committed new data pins the effective strategy;
+    // a fresh table's first committing run establishes it.
+    val wroteNewData = reports.exists(r => !r.skipped && r.rows > 0L)
+    if (wroteNewData || (committed.isEmpty && reports.exists(!_.skipped)))
+      Checkpoint.writeContextTailsProp(spark, outDir,
+        useTails && (committedNonEmptySecs.isEmpty || persistedTails.getOrElse(true)))
     reports
   }
 
@@ -874,7 +967,12 @@ object Backfill {
         .select(col("conv_id"), col("st_last_ts"), col("st_last_role"), col("st_sessions"))
       return graft.gold.SegmentedSweep.gold(
         silverH, ctxF, state, bronzeNew,
-        gapSecs, segmentSecs, numPartitions = outPartitions)
+        gapSecs, segmentSecs,
+        // share the backfill's lookback constant explicitly (ADVICE r5):
+        // a future widest-frame change must move the feeder replication
+        // reach with it, not silently desync from a duplicated literal
+        lookbackSecs = MaxLookbackSecs,
+        numPartitions = outPartitions)
     }
 
     val silverF = silverH.withColumn("_fw_len",

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>):
   * brute-force cosine top-k as the exact baseline, and a
-  * random-hyperplane LSH bucketed variant as the scale path. Dot
-  * products are pure Catalyst higher-order functions (zip_with +
-  * aggregate) — codegen-friendly, no UDF.
+  * random-hyperplane LSH bucketed variant as the scale path. The
+  * pairwise dot/norm kernel is [[VecDot]], a custom codegen expression
+  * (see its scaladoc for the measured comparison against the
+  * higher-order-function and unrolled-sum forms).
   *
   * Scale: brute force is O(|Q| x |C| x d) with the query side
   * broadcast — right for small query batches against a large corpus
@@ -31,21 +32,33 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Per-row precomputation for pairwise scoring: the double-cast
-    * vector and its norm are hoisted out of the O(n^2) pair loop —
-    * bitwise-identical results to [[cosine]] (same expressions, same
-    * evaluation order), ~3x less work per pair.
+  /** The pairwise-scoring kernel: [[VecDot]], a custom codegen
+    * expression (one plan node, tight JIT-able loop). See VecDot's
+    * scaladoc for why neither the higher-order-function form
+    * (CodegenFallback — interpreted per pair) nor an unrolled term sum
+    * (method past HotSpot's 8000-byte JIT ceiling; planning blow-up)
+    * survives in the O(n^2) loop. Results are bit-identical to the
+    * HOF form: same 0.0-seeded positional IEEE fold.
     */
-  private def withVecNorm(df: org.apache.spark.sql.DataFrame, vecCol: String,
-      vd: String, norm: String): org.apache.spark.sql.DataFrame = {
-    val d = transform(col(vecCol), x => x.cast("double"))
-    df.withColumn(vd, d)
-      .withColumn(norm, sqrt(aggregate(col(vd), lit(0d), (acc, v) => acc + v * v)))
-  }
+  private def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftInternalAccess.exprColumn(VecDot(
+      org.apache.spark.sql.GraftInternalAccess.columnExpr(a),
+      org.apache.spark.sql.GraftInternalAccess.columnExpr(b)))
+
+  /** Per-row precomputation for pairwise scoring: the vector norm is
+    * hoisted out of the O(n^2) pair loop — bitwise-identical to
+    * [[cosine]] (same expressions, same evaluation order) — and the
+    * vector column stays the RAW float array (half the shuffle bytes
+    * of the double-cast array the HOF form materialized).
+    */
+  private def prep(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vAlias: String, nAlias: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vAlias))
+      .withColumn(nAlias, sqrt(vecDot(col(vAlias), col(vAlias))))
 
   /** dot(a, b) / (na * nb) over precomputed columns. */
-  private def pairCos(vda: Column, vdb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(vda, vdb, (x, y) => x * y), lit(0d), (acc, v) => acc + v) / (na * nb)
+  private def pairCos(va: Column, vb: Column, na: Column, nb: Column): Column =
+    vecDot(va, vb) / (na * nb)
 
   /** Exact top-k cosine neighbors for each query vector. `queries` and
     * `corpus` both need (idCol, vecCol); self-matches (same id) are
@@ -57,12 +70,10 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = withVecNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("_q0")),
-      "_q0", "_qv", "_qn").drop("_q0")
+    val q = prep(queries, idCol, vecCol, "query_id", "_qv", "_qn")
     // spread the streamed corpus over all cores: a small corpus file
     // scans as one partition, which would serialize |Q| x |C| scoring
-    val c = withVecNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_c0")),
-      "_c0", "_cv", "_cn").drop("_c0")
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "_cv", "_cn")
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -82,11 +93,9 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = withVecNorm(embeddings.select(col(idCol).as("id_a"), col(vecCol).as("_a0")),
-      "_a0", "_va", "_na").drop("_a0")
+    val a = prep(embeddings, idCol, vecCol, "id_a", "_va", "_na")
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
-    val b = withVecNorm(embeddings.select(col(idCol).as("id_b"), col(vecCol).as("_b0")),
-      "_b0", "_vb", "_nb").drop("_b0")
+    val b = prep(embeddings, idCol, vecCol, "id_b", "_vb", "_nb")
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(pairCos(col("_va"), col("_vb"), col("_na"), col("_nb")), 6))
@@ -147,9 +156,7 @@ object Similarity {
       blocks: Int,
       idCol: String,
       vecCol: String): DataFrame = {
-    val base = withVecNorm(
-      embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v0")), "_v0", "_v", "_n")
-      .drop("_v0")
+    val base = prep(embeddings, idCol, vecCol, "_id", "_v", "_n")
       .withColumn("_blk", pmod(xxhash64(col("_id")), lit(blocks)).cast("int"))
     // The pair EXPLOSION happens inside the scoring join, invisible to
     // AQE: the join's shuffle inputs are only n*B/2 vector rows, so
@@ -204,34 +211,48 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(tables, bits, dim, seed)
 
+    // each plane is ONE array<double> literal (not dim literal nodes):
+    // the projection is a single VecDot plan node per (table, bit), so
+    // the whole bucket computation is ~tables x bits compact nodes —
+    // codegen'd loops instead of tables x bits interpreted
+    // aggregate(zip_with(...)) lambdas per vector, at no planning cost
+    def planeLit(t: Int, b: Int): Column =
+      org.apache.spark.sql.GraftInternalAccess.exprColumn(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          planes(t)(b),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))
+
     def bucketKeys(vec: Column): Column = array((0 until tables).map { t =>
       (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-        val plane = planes(t)(b)
-        val proj = aggregate(
-          zip_with(vec, array(plane.map(lit): _*), (x, p) => x.cast("double") * p),
-          lit(0d), (s, v) => s + v)
+        val proj = vecDot(vec, planeLit(t, b))
         shiftleft(acc, 1) + when(proj >= 0d, 1L).otherwise(0L)
       }
     }: _*)
 
-    def withBuckets(df: DataFrame, id: String, v: String) = df
+    // per-vector norm computed ONCE before the bucket explode — the
+    // former per-candidate cosine() recomputed both norms per pair
+    def withBuckets(df: DataFrame, id: String, v: String, nrm: String) = df
       .select(col(idCol).as(id), col(vecCol).as(v),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as(nrm),
         posexplode(bucketKeys(col(vecCol))))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
 
-    val qb = withBuckets(queries, "query_id", "_qv")
+    val qb = withBuckets(queries, "query_id", "_qv", "_qn")
     // corpus-side bucket keys cost tables*bits projections per vector;
     // spread them — a single-file corpus otherwise scans as one task
     val cb = withBuckets(
       corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
-      "neighbor_id", "_cv")
+      "neighbor_id", "_cv", "_cn")
     val candidates = qb.join(cb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("_qv"), col("neighbor_id"), col("_cv"))
+      .select(col("query_id"), col("_qv"), col("_qn"),
+        col("neighbor_id"), col("_cv"), col("_cn"))
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     candidates
-      .withColumn("score", round(cosine(col("_qv"), col("_cv")), 6))
+      .withColumn("score",
+        round(vecDot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))

@@ -274,7 +274,7 @@ object FusedSweep {
         (data, tl, cx) =>
           val writer = sink.map { s =>
             val w = new graft.meta.StateSideWriter(s)
-            // close on task completion: flushes the gzip trailer on
+            // close on task completion: commits the parquet footer on
             // success; on failure leaves a partial the retry overwrites
             Option(org.apache.spark.TaskContext.get())
               .foreach(_.addTaskCompletionListener[Unit](_ => w.close()))

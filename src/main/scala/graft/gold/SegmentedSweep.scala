@@ -51,6 +51,12 @@ object SegmentedSweep {
   private final case class SegSeed(
       hasPrev: Boolean, prevTsSec: Long, prevRole: String, offset: Int)
 
+  /** Driver-collect bound on the (conv, segment) chain seeds — ~100 MB
+    * of seed map at ~50 B/entry, far above any sane dispatch (which
+    * caps routed conversations at ~2x cores).
+    */
+  private val MaxSeedRows = 2000000L
+
   // exchange row layout (field indexes)
   private val CONV = 0
   private val SEG = 1
@@ -127,8 +133,26 @@ object SegmentedSweep {
       .select(col("conv_id"), col("_seg"), col("_prev_ts"), col("_prev_role"),
         col("_offset").cast("int").as("_offset"))
 
-    // the skew tail is tiny by construction: heavy convs x segments
-    val seeds: Map[(String, Long), SegSeed] = chained.collect().map { row =>
+    // the skew tail is tiny by construction — heavy convs x segments;
+    // the dispatch caps routed conversations at ~2x cores and a slice
+    // spans O(slice/segment + lookback/segment) segments — but a
+    // mis-tuned threshold routing half a corpus here would otherwise
+    // OOM the driver SILENTLY inside collect(). Guard loudly first:
+    // count the seed rows (cheap — the aggregate is narrow and reuses
+    // the summary shuffle) and refuse past a bound that is orders
+    // above any sane routing, then log the cardinality per routed
+    // slice so dispatch regressions are visible in plain run output.
+    val seedRows = chained.persist()
+    val seedCount = seedRows.count()
+    if (seedCount > MaxSeedRows) {
+      seedRows.unpersist()
+      throw new IllegalStateException(
+        s"segmented sweep: $seedCount (conv, segment) chain seeds exceed the " +
+          s"$MaxSeedRows driver-collect bound — the skew dispatch routed far too many " +
+          "conversations heavy; raise the dispatch threshold (or segment width)")
+    }
+    println(s"[segmented] chain seeds: $seedCount (conv, segment) entries")
+    val seeds: Map[(String, Long), SegSeed] = seedRows.collect().map { row =>
       val hasPrev = !row.isNullAt(2)
       (row.getString(0), row.getLong(1)) -> SegSeed(
         hasPrev,
@@ -136,6 +160,7 @@ object SegmentedSweep {
         if (row.isNullAt(3)) null else row.getString(3),
         row.getInt(4))
     }.toMap
+    seedRows.unpersist()
     val seedsBc = spark.sparkContext.broadcast(seeds)
 
     // ---- the one full-width exchange ----

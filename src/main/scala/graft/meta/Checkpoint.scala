@@ -121,17 +121,37 @@ object Checkpoint {
   def writeContextTailsProp(spark: SparkSession, outDir: String, tails: Boolean): Unit =
     writeDriverFile(spark, propsPath(outDir), s"""{"context_tails": $tails}\n""")
 
-  /** Pre-props fallback for the strategy guard: does the state-delta
-    * table carry ANY frame-tail arrays? An all-empty (or absent) delta
-    * table is vacuously compatible — there is no committed context to
-    * lose. One tiny aggregate over the narrow tail_ts column; runs only
-    * on resume of a table without the props file.
+  /** Pre-props fallback for the strategy guard: does EVERY committed
+    * non-empty slice's delta dir carry frame-tail arrays? (ADVICE r5:
+    * the old any-tails probe passed a mixed rescan→tails history — the
+    * exact silent-context-loss case the guard exists to catch — and
+    * read every `slice_start=` dir, so a footerless partial side-file
+    * from a crashed, uncommitted run aborted the probe.) The read is
+    * restricted to the committed slices' dirs; a committed non-empty
+    * slice with NO delta dir at all fails conservatively. An absent /
+    * empty delta table is vacuously compatible — no committed context
+    * to lose. One tiny per-slice aggregate over the narrow tail_ts
+    * column; runs only on resume of a table without the props file.
     */
-  def frameTailsEverWritten(spark: SparkSession, outDir: String): Boolean = {
-    if (!exists(spark, stateDir(outDir))) return true
-    val r = readDeltaTable(spark, outDir)
-      .agg(count(lit(1)), count(col("tail_ts"))).head()
-    r.getLong(0) == 0L || r.getLong(1) > 0L
+  def frameTailsEverWritten(
+      spark: SparkSession, outDir: String,
+      committedNonEmptySecs: Set[Long] = Set.empty): Boolean = {
+    if (committedNonEmptySecs.isEmpty) return true
+    val base = stateDir(outDir)
+    val dirP = new org.apache.hadoop.fs.Path(base)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirP)) return false
+    val present = fs.listStatus(dirP).toSeq
+      .flatMap(_.getPath.getName.stripPrefix("slice_start=").toLongOption)
+      .filter(committedNonEmptySecs)
+      .toSet
+    if (present != committedNonEmptySecs) return false
+    val badSlices = spark.read.schema(deltaFileSchema).option("basePath", base)
+      .parquet(present.toSeq.map(s => s"$base/slice_start=$s"): _*)
+      .groupBy(col("slice_start"))
+      .agg(count(lit(1)).as("_n"), count(col("tail_ts")).as("_t"))
+      .filter(col("_n") > 0 && col("_t") === 0)
+    badSlices.isEmpty
   }
 
   /** Slice ids whose watermark row reached `committed`. */

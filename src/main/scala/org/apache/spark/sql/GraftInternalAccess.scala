@@ -27,4 +27,17 @@ object GraftInternalAccess {
   /** The analyzed plan's InternalRow RDD (post-shuffle, post-sort). */
   def toInternalRdd(df: DataFrame): RDD[InternalRow] =
     df.queryExecution.toRdd
+
+  /** Wrap a catalyst Expression as a user-facing Column (the classic
+    * helper is private[sql]) — used for the custom codegen kernels
+    * (e.g. [[graft.ann.VecDot]]).
+    */
+  def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a Column (inverse of
+    * [[exprColumn]]).
+    */
+  def columnExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

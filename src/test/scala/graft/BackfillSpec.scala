@@ -136,7 +136,7 @@ class BackfillSpec extends AnyFunSuite {
   test("gold file count per slice is bounded by data size, not core count") {
     // simulate a big cluster: 64 shuffle partitions would give the
     // legacy 8x exchange 512 files per slice regardless of data size;
-    // the size-targeted exchange writes ~bytes/16MB files (here: ~1)
+    // the size-targeted exchange writes ~bytes/8MB files (here: ~1)
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     try {
