@@ -41,17 +41,28 @@ object Backfill {
 
   /** CORE-AWARE heavy dispatch (round-6): the absolute
     * `skewHeavyThreshold` was calibrated at low parallelism where
-    * cpu-sum bounds the wall; at high core counts the wall-optimal rule
-    * is RELATIVE — a conversation straggles the sweep stage as soon as
-    * its rows exceed a small multiple of the average sweep-partition
-    * rows (the stage wall is max(task), not sum/cores). Effective
-    * threshold = min(absolute, max(floor, alpha x sliceRows/sweepParts)):
-    * at 1000 cores a 10M-row conversation routes off the light sweep
-    * even though it is far under the absolute 10^7 crossover, while
-    * small slices (rows/partition tiny) keep the floor so the segmented
-    * path's ~1-2 s fixed cost is never paid to dodge a sub-second
-    * straggler. alpha = 2 targets the straggler done-bar (max sweep
-    * task <= ~2x median); SPARK_GRAFT_SKEW_ALPHA is the dev A/B knob.
+    * cpu-sum bounds the wall; at high core counts the stage wall is
+    * max(task), so a conversation whose slice rows exceed a small
+    * multiple of the FAIR CORE SHARE (sliceRows / cores) straggles the
+    * sweep stage long before the absolute crossover — at 1000 cores an
+    * absolute 10^7 threshold leaves a 10M-row task serializing while
+    * every other core handles ~1M rows. Relative candidate threshold =
+    * max(floor, alpha x sliceRows / cores), alpha = 2
+    * (SPARK_GRAFT_SKEW_ALPHA is the dev A/B knob).
+    *
+    * Routing is additionally gated on the candidates being a small
+    * FRACTION of the slice ([[RouteBudgetFraction]]): the segmented
+    * detour only wins when it runs OFF the critical path — the light
+    * sweep of the other (1 - beta) of the slice keeps the cores busy
+    * while the detour's extra full-width passes process the tail.
+    * Measured counter-example (this round, driver bench shape): the
+    * planted 2M-turn megas are 83% of the 4.8M-turn table, and routing
+    * them pushed backfill_gold 49.8 -> 71.6-134.8 s across three heavy
+    * -path variants — when the "tail" IS most of the slice, every
+    * extra pass over it is a pass over the whole slice, and the plain
+    * sweep's single hot task is the cheaper evil. Conversations above
+    * the ABSOLUTE crossover always route (the sweep would abort on
+    * them anyway — cpu-sum explosion beats any detour argument).
     */
   private val SkewAlpha: Long =
     sys.env.get("SPARK_GRAFT_SKEW_ALPHA").map(_.toLong).getOrElse(2L)
@@ -62,22 +73,47 @@ object Backfill {
     * inert in small-data specs, whose dispatch behavior is pinned by
     * their explicit absolute thresholds.
     */
-  private val MinRouteRows = 100000L
+  private val MinRouteRows = 200000L
 
-  /** (effective dispatch threshold, relative-bound-is-binding) for a
-    * slice: min(absolute, max(floor, alpha x rowsEst/sweepParts)).
-    * When the relative bound binds, detection runs UPFRONT (the lazy
-    * capacity-exception protocol would waste a near-complete optimistic
-    * sweep attempt on every first mega slice).
+  /** Relative-routed rows may total at most this fraction of the
+    * slice (see the critical-path rationale above).
     */
-  private[graft] def effectiveSkewThreshold(
+  private val RouteBudgetFraction = 0.25
+
+  /** Relative candidate threshold for a slice, None when relative
+    * dispatch cannot fire (no absolute threshold configured, no row
+    * estimate, or no conversation could pass both the candidate
+    * threshold and the budget: a candidate needs > relThr rows AND
+    * <= beta x rows budget, impossible once relThr >= beta x rows).
+    */
+  private[graft] def relativeThreshold(
       absolute: Option[Long],
       rowsEst: Option[Long],
-      sweepParts: Int): (Option[Long], Boolean) = (absolute, rowsEst) match {
+      cores: Int): Option[Long] = (absolute, rowsEst) match {
     case (Some(a), Some(r)) =>
-      val rel = Math.max(MinRouteRows, SkewAlpha * r / Math.max(sweepParts, 1))
-      (Some(Math.min(a, rel)), rel < a)
-    case (a, _) => (a, false)
+      val rel = Math.max(MinRouteRows, SkewAlpha * r / Math.max(cores, 1))
+      if (rel < a && rel < (r * RouteBudgetFraction).toLong) Some(rel) else None
+    case _ => None
+  }
+
+  /** Pick the routed set from detected (conv, sliceRows) candidates:
+    * every conversation above the absolute crossover, plus the largest
+    * relative candidates while their cumulative rows fit the slice
+    * budget, capped at `cap`.
+    */
+  private[graft] def selectRouted(
+      candidates: Seq[(String, Long)],
+      absolute: Long,
+      relThr: Long,
+      budgetRows: Long,
+      cap: Int): Seq[String] = {
+    val sorted = candidates.sortBy { case (id, n) => (-n, id) }
+    val must = sorted.filter(_._2 > absolute)
+    var cum = 0L
+    val opt = sorted
+      .filter { case (_, n) => n <= absolute && n > relThr }
+      .takeWhile { case (_, n) => cum += n; cum <= budgetRows }
+    (must ++ opt).take(cap).map(_._1)
   }
 
   def sliceId(startSec: Long): String = s"s$startSec"
@@ -335,6 +371,9 @@ object Backfill {
     // wasted optimistic attempt per slice.
     var carriedHeavy: Seq[String] = Nil
     var heavyExpiry: Int = -1
+    // relative-dispatch detection cooldown (see the decision site): set
+    // after a detection round that routed nothing
+    var relDetectCooldownUntil: Int = -1
     val heavyReach = (Math.ceil(MaxLookbackSecs.toDouble / sliceSecs) + 1).toInt
 
     // Empty-slice fast path (ADVICE r4): an empty slice run through the
@@ -423,55 +462,41 @@ object Backfill {
         def ctxGold: DataFrame = contextRead(spark, goldPath, id, start, sliceSecs,
           Some(goldFileSchema))
 
-        // --- the EFFECTIVE dispatch threshold: the caller's absolute
-        // crossover, tightened by the core-aware relative rule when a
-        // slice-row estimate exists (previous written/committed slice,
-        // or bronzeRows/nSlices on the first slice). relThr scales with
-        // avg rows per sweep partition, so the rule stays correct at
-        // any core count / slice size pairing.
+        // --- relative-dispatch inputs: slice-row estimate from the
+        // previous written/committed slice (first slice: parquet-
+        // metadata bronzeRows/nSlices), fair-core-share threshold, and
+        // the routed-fraction budget. A detection round that routes
+        // NOTHING starts a cooldown — sustained shapes where routing
+        // never pays (e.g. a mega that IS most of the slice) stop
+        // paying the per-slice count jobs; the absolute capacity
+        // backstop still guards genuine cpu-sum explosions meanwhile.
         val rowsEst: Option[Long] =
           if (skewHeavyThreshold.isEmpty) None
           else lastGoldSliceRows.orElse(bronzeRowsPerSlice)
-        // when the relative bound is the binding one, detect UPFRONT:
-        // the lazy capacity-exception protocol would fire on every
-        // first slice of a mega and waste a near-complete optimistic
-        // sweep attempt; one narrow map-combined count job (~2 orders
-        // cheaper than the sweep) per slice is the better trade. The
-        // lazy path (zero detection jobs) remains for the absolute
-        // regime, where crossings are rare by calibration.
-        val (effThr, upfrontRelative) =
-          effectiveSkewThreshold(skewHeavyThreshold, rowsEst, sweepParts)
+        val relThr: Option[Long] =
+          if (i < relDetectCooldownUntil) None
+          else relativeThreshold(skewHeavyThreshold, rowsEst,
+            spark.sparkContext.defaultParallelism)
+        val routedCap = Math.max(64, 2 * spark.sparkContext.defaultParallelism)
 
         // --- skew dispatch on PER-SLICE cost: rows this slice, or
         // committed lookback events (what one sweep task would have to
-        // stream for the conversation). Heavy ids are the skew TAIL —
-        // and are additionally CAPPED at the biggest offenders (the
-        // heavy path saturates past ~2x cores conversations; an
-        // un-routed above-threshold conversation still computes
-        // correctly on the light sweep, it merely straggles) — so one
-        // map-combined count + driver collect beats re-planning
-        // broadcast joins into all split branches. Counts read narrow
-        // columns only.
-        def detectHeavy(): Seq[String] = effThr match {
-          case Some(thr) => phase(id, "heavy ids")({
-            val cap = Math.max(64, 2 * spark.sparkContext.defaultParallelism)
-            val sliceCnt = rawSlice.groupBy(col("conv_id")).count()
-            val ctxCnt =
-              if (useTails)
-                tails.groupBy(col("conv_id")).agg(sum(size(col("tail_ts"))).as("count"))
-              else ctxGold.groupBy(col("conv_id")).count()
-            val cand = sliceCnt.filter(col("count") > thr)
-              .unionByName(ctxCnt.filter(col("count") > thr))
-              .groupBy(col("conv_id")).agg(max(col("count")).as("count"))
-              .orderBy(col("count").desc, col("conv_id"))
-              .limit(cap + 1).collect()
-            if (cand.length > cap)
-              println(s"[backfill] $id: ${cand.length - 1}+ conversations above the " +
-                s"dispatch threshold $thr — routing only the $cap largest")
-            cand.take(cap).map(_.getString(0)).toSeq
-          })
-          case None => Nil
-        }
+        // stream for the conversation). Candidates above `thr` are the
+        // skew TAIL — one narrow map-combined count + driver collect
+        // beats re-planning broadcast joins into all split branches.
+        def detectCounts(thr: Long): Seq[(String, Long)] = phase(id, "heavy ids")({
+          val sliceCnt = rawSlice.groupBy(col("conv_id")).count()
+          val ctxCnt =
+            if (useTails)
+              tails.groupBy(col("conv_id")).agg(sum(size(col("tail_ts"))).as("count"))
+            else ctxGold.groupBy(col("conv_id")).count()
+          sliceCnt.filter(col("count") > thr)
+            .unionByName(ctxCnt.filter(col("count") > thr))
+            .groupBy(col("conv_id")).agg(max(col("count")).as("count"))
+            .orderBy(col("count").desc, col("conv_id"))
+            .limit(2 * routedCap).collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+        })
 
         // per-task state side-files: the sweep tasks emit this slice's
         // conversation-state delta (and tail arrays in tails mode) as
@@ -485,6 +510,16 @@ object Backfill {
           chunkTurns = 65536,
           conf = new graft.meta.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
 
+        // heavy-path intermediates persisted for the duration of one
+        // slice write (the dedup output feeds both the owner and the
+        // feeder side of the segmented exchange — uncached it computes
+        // twice); released right after the write lands or the attempt
+        // fails
+        val slicePersists = scala.collection.mutable.Buffer[DataFrame]()
+        def releasePersists(): Unit = {
+          slicePersists.foreach(df => { df.unpersist(); () })
+          slicePersists.clear()
+        }
         def buildGold(heavy: Seq[String], inverted: Seq[String]): DataFrame = {
           val routedIds = (heavy ++ inverted).distinct
           val isRouted =
@@ -496,7 +531,7 @@ object Backfill {
             deltas.filter(!isRouted), emptySilver(spark),
             sliceBronze.filter(!isRouted), sessionGapSecs,
             Some(tails.filter(!isRouted)), lightCtxStream,
-            capacityLimit = effThr,
+            capacityLimit = skewHeavyThreshold,
             numPartitions = Some(sweepParts),
             stateSink = Some(stateSink))
           if (routedIds.isEmpty) light
@@ -521,7 +556,8 @@ object Backfill {
                 val in = col("conv_id").isin(ids: _*)
                 heavyGold(deltas.filter(in), context.filter(in),
                   sliceBronze.filter(in), start, sessionGapSecs, segmentSecs,
-                  segmentedSessions = segmented, outPartitions = Some(sweepParts))
+                  segmentedSessions = segmented, outPartitions = Some(sweepParts),
+                  persistRegistry = Some(slicePersists))
             }
             parts.foldLeft(light)((acc, h) =>
               acc.unionByName(h.select(light.columns.map(col): _*)))
@@ -609,16 +645,30 @@ object Backfill {
         // Zero cost on the contract-clean, all-light path.
         var heavyIds: Seq[String] =
           if (skewHeavyThreshold.isDefined &&
-              (skewDetection == "upfront" || upfrontRelative ||
+              (skewDetection == "upfront" || relThr.isDefined ||
                 (carriedHeavy.nonEmpty && i >= heavyExpiry))) {
-            val d = detectHeavy(); heavyExpiry = i + heavyReach; d
+            val abs = skewHeavyThreshold.get
+            val thr = relThr.getOrElse(abs)
+            val cand = detectCounts(thr)
+            heavyExpiry = i + heavyReach
+            val routed = selectRouted(cand, abs, thr,
+              rowsEst.map(r => (r * RouteBudgetFraction).toLong).getOrElse(Long.MaxValue),
+              routedCap)
+            if (relThr.isDefined && routed.isEmpty) {
+              relDetectCooldownUntil = i + heavyReach
+              if (cand.nonEmpty)
+                println(s"[backfill] $id: ${cand.size} conversation(s) above the relative " +
+                  s"threshold $thr but past the ${RouteBudgetFraction} slice-budget — " +
+                  "keeping them on the plain sweep (detour would ride the critical path)")
+            }
+            routed
           } else carriedHeavy
         var invertedIds: Seq[String] = Nil
         var metrics: Option[org.apache.spark.sql.Row] = None
         var attempts = 0
         var done = false
         phase(id, "gold compute+write")(
-          while (!done) {
+          try while (!done) {
             attempts += 1
             // pre-clear the slice's delta dir before EVERY attempt: a
             // failed attempt's side-files (possibly for partitions the
@@ -627,7 +677,10 @@ object Backfill {
             try { metrics = writeGoldObserved(buildGold(heavyIds, invertedIds)); done = true }
             catch {
               case e: Throwable if isCapacity(e) && attempts <= 3 =>
-                val detected = detectHeavy()
+                releasePersists()
+                // capacity aborts fire at the ABSOLUTE crossover only;
+                // everything detected there must route
+                val detected = detectCounts(skewHeavyThreshold.get).map(_._1)
                 heavyExpiry = i + heavyReach
                 if (!detected.exists(d => !heavyIds.contains(d))) throw e
                 println(s"[backfill] $id: routing ${detected.size} oversize " +
@@ -636,6 +689,7 @@ object Backfill {
                   (if (detected.size > 5) ", ..." else ""))
                 heavyIds = (heavyIds ++ detected).distinct
               case e: Throwable if isTsInversion(e) && attempts <= 3 =>
+                releasePersists()
                 val inverted = phase(id, "inversion detect")(
                   detectInvertedConvs(sliceBronze))
                 if (!inverted.exists(d => !invertedIds.contains(d))) throw e
@@ -644,7 +698,7 @@ object Backfill {
                   (if (inverted.size > 5) ", ..." else ""))
                 invertedIds = (invertedIds ++ inverted).distinct
             }
-          })
+          } finally releasePersists())
         carriedHeavy = heavyIds
 
         if (failAfterGoldWriteOfSlice.contains(id))
@@ -921,8 +975,20 @@ object Backfill {
       outPartitions: Option[Int] = None,
       // fused one-exchange segmented path (SegmentedSweep) vs the
       // legacy three-stage stack; env opt-out for A/B probes
-      fusedSegmented: Boolean = !sys.env.get("SPARK_GRAFT_FUSED_HEAVY").contains("0")): DataFrame = {
+      fusedSegmented: Boolean = !sys.env.get("SPARK_GRAFT_FUSED_HEAVY").contains("0"),
+      // slice-scoped persist registry: intermediates cached here are
+      // unpersisted by the caller right after the slice's write lands.
+      // None (specs / single-shot) skips the persists entirely.
+      persistRegistry: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
     import graft.gold.FusedSweep
+    val spark = sliceBronze.sparkSession
+    def scoped(df: DataFrame): DataFrame = persistRegistry match {
+      case Some(reg) =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        reg += p
+        p
+      case None => df
+    }
     // same horizon-free re-send drop as the fused light path: a bronze
     // turn at or below the carried last committed turn_idx is a
     // duplicate of committed data (heavy conversations are few — the
@@ -945,17 +1011,39 @@ object Backfill {
       else coalesce(length(col("text")).cast("long"), lit(0L))
     val both = FusedSweep.contextRows(ctx.drop("text_len"))
       .unionByName(FusedSweep.bronzeRows(bronzeNew))
-    val silverH = both
-      .groupBy(col("conv_id"), col("turn_idx"))
-      .agg(min_by(
-        struct(col("role"), col("text"), col("tool"), col("ts"), col("_k")),
-        struct(col("_k"), col("ts"), col("role"), coalesce(col("tool"), lit("")), col("text"))).as("_w"))
-      .select(col("conv_id"), col("turn_idx"), col("_w.role").as("role"),
-        col("_w.text").as("text"), col("_w.tool").as("tool"), col("_w.ts").as("ts"),
-        col("_w._k").as("_k"))
-      .filter(col("_k") === 2).drop("_k")
+    // Dedup via row_number over an explicit hash repartition on the
+    // exact grouping key — two measured pathologies in the former
+    // min_by(struct(...)) aggregate:
+    //  - a var-length struct buffer bars hash aggregation, and the
+    //    partial SORT aggregate then ran concentrated on the mega's
+    //    few time-clustered input splits (~6.5 s max task vs 0.05 s
+    //    median, §2.5 input skew);
+    //  - spread out, the aggregate was still ~200 us/row (9 s medians
+    //    at 45k rows/task): every row built TWO structs copying the
+    //    dominant text column, compared through interpreted struct
+    //    ordering.
+    // The window form sorts binary UnsafeRows (codegen prefix
+    // comparators) and evaluates a streaming row_number — the same
+    // machinery the light sweep's big sort uses at ~2 us/row. The
+    // numbered repartition satisfies the window's distribution (its
+    // own exchange is elided) and the scan tasks just forward bytes.
+    // Winner semantics are IDENTICAL: row_number orders by the exact
+    // tuple the min_by ordering struct held, and rows tying on the
+    // full tuple are value-identical (every output field is in the
+    // tuple), so the kept row is the same (SegmentedSweepSpec /
+    // BackfillSpec bit-equality).
+    val dedupParts = Math.max(spark.sparkContext.defaultParallelism,
+      outPartitions.getOrElse(1))
+    val wDedup = Window.partitionBy(col("conv_id"), col("turn_idx"))
+      .orderBy(col("_k"), col("ts"), col("role"), coalesce(col("tool"), lit("")), col("text"))
+    val silverH = scoped(both
+      .repartition(dedupParts, col("conv_id"), col("turn_idx"))
+      .withColumn("_rn", row_number().over(wDedup))
+      .filter(col("_rn") === 1 && col("_k") === 2)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts")))
 
-    val ctxF = ctx.withColumn("_fw_len", ctxLen).drop("text_len")
+    val ctxF = scoped(ctx.withColumn("_fw_len", ctxLen).drop("text_len"))
 
     // FUSED segmented path (round-5, NEXT.md lead 1): frames + lag +
     // sessions in one full-width (conv, seg) exchange + one narrow
@@ -965,8 +1053,19 @@ object Backfill {
     if (segmentedSessions && fusedSegmented) {
       val state = Checkpoint.latestConvState(deltas)
         .select(col("conv_id"), col("st_last_ts"), col("st_last_role"), col("st_sessions"))
+      // the summary's winners derive from the CACHED dedup output, not
+      // a third scan+aggregate over raw bronze: silverH is exactly the
+      // deduped row set the sweep will emit as owners (one row per
+      // (conv, turn), so the summary's min_by collapses trivially),
+      // and the seed-count job materializes the cache before the big
+      // write job's two consumers read it — no duplicate subtree, no
+      // cache-build race. This also makes summary == owners BY
+      // CONSTRUCTION where the former bronze-side winners could count
+      // a context-superseded turn the owners never emit.
+      val silverHNarrow = silverH.select(
+        col("conv_id"), col("turn_idx"), col("ts"), col("role"), col("tool"))
       return graft.gold.SegmentedSweep.gold(
-        silverH, ctxF, state, bronzeNew,
+        silverH, ctxF, state, silverHNarrow,
         gapSecs, segmentSecs,
         // share the backfill's lookback constant explicitly (ADVICE r5):
         // a future widest-frame change must move the feeder replication

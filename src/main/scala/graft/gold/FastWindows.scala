@@ -36,7 +36,13 @@ import org.apache.spark.sql.types._
 // hottest loop; boxed deques double its memory-bandwidth cost).
 // Shared by the standalone FastWindows sweep and the fused backfill
 // sweep ([[FusedSweep]]).
-private[gold] final class FrameQ(val spanSecs: Long) {
+//
+// `trackDistinct = false` skips the value->count distinct map
+// entirely: only the 24h frame's distinctCnt is ever emitted, yet
+// every frame was paying the hash update (plus its Option/boxed-Int
+// allocations) per tool-carrying add AND evict — two thirds of the
+// sweep's hash work maintained counts nobody read.
+private[gold] final class FrameQ(val spanSecs: Long, trackDistinct: Boolean = true) {
   private var cap = 1024
   private var ts = new Array[Long](cap)
   private var len = new Array[Long](cap)
@@ -62,7 +68,8 @@ private[gold] final class FrameQ(val spanSecs: Long) {
     size += 1; sumLen += l
     if (tl != null) {
       toolCalls += 1
-      distinct.updateWith(tl) { case Some(c) => Some(c + 1); case None => Some(1) }
+      if (trackDistinct)
+        distinct.updateWith(tl) { case Some(c) => Some(c + 1); case None => Some(1) }
     }
   }
   def evictBefore(minTs: Long): Unit = {
@@ -72,7 +79,8 @@ private[gold] final class FrameQ(val spanSecs: Long) {
       head = (head + 1) % cap; size -= 1; sumLen -= l
       if (tl != null) {
         toolCalls -= 1
-        distinct.updateWith(tl) { case Some(1) => None; case Some(c) => Some(c - 1); case None => None }
+        if (trackDistinct)
+          distinct.updateWith(tl) { case Some(1) => None; case Some(c) => Some(c - 1); case None => None }
       }
     }
   }
@@ -102,9 +110,9 @@ object FastWindows {
     StructField("avg_chars_7d", DoubleType, nullable = false))
 
   private final class SlidingState {
-    val f1h = new FrameQ(3600L)
+    val f1h = new FrameQ(3600L, trackDistinct = false)
     val f24h = new FrameQ(86400L)
-    val f7d = new FrameQ(604800L)
+    val f7d = new FrameQ(604800L, trackDistinct = false)
     def evictAll(t: Long): Unit = {
       f1h.evictBefore(t - f1h.spanSecs)
       f24h.evictBefore(t - f24h.spanSecs)

@@ -493,9 +493,9 @@ object FusedSweep {
       clearSide()
     }
 
-    private val f1h = new FrameQ(3600L)
+    private val f1h = new FrameQ(3600L, trackDistinct = false)
     private val f24h = new FrameQ(86400L)
-    private val f7d = new FrameQ(604800L)
+    private val f7d = new FrameQ(604800L, trackDistinct = false)
 
     private var curConv: UTF8String = _
     private var sawState = false
@@ -683,9 +683,17 @@ object FusedSweep {
       emit(p)
     }
 
+    // the emitted row object is REUSED across next() calls — standard
+    // operator contract (the immediate consumer is an unsafe
+    // projection that serializes each row before anything buffers it);
+    // a fresh 16-slot array + GenericInternalRow per output row was
+    // two allocations per row on the engine's hottest loop
+    private val outArr = new Array[Any](16)
+    private val outRow = new GenericInternalRow(outArr)
+
     private def emit(p: Pending): InternalRow = {
       val r = p.row
-      val out = new Array[Any](16)
+      val out = outArr
       out(0) = r.getUTF8String(CONV)
       out(1) = r.getInt(TURN)
       out(2) = r.getUTF8String(ROLE)
@@ -702,7 +710,7 @@ object FusedSweep {
       out(13) = if (p.hasGap) p.gapSecs else null
       out(14) = p.sessionId
       out(15) = p.textLen
-      new GenericInternalRow(out)
+      outRow
     }
   }
 }

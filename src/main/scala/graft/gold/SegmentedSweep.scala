@@ -99,6 +99,11 @@ object SegmentedSweep {
     // (ts, role, tool, text); rows that survive to the text tiebreak
     // share (ts, role), so minimizing (ts, role, tool) yields the
     // winner's (ts, role) without ever reading text
+    // production callers ([[graft.Backfill.heavyGold]]) pass the
+    // CACHED deduped silver projection here — already unique per
+    // (conv, turn) and hash-spread on exactly that key, so the min_by
+    // collapses single-row groups with no extra exchange; raw-bronze
+    // callers (specs, single-shot) still get the full dedup-lite
     val winners = bronzeNarrow
       .select(col("conv_id"), col("turn_idx"), tsSec.as("_t"), col("role"), col("tool"))
       .groupBy(col("conv_id"), col("turn_idx"))
@@ -251,9 +256,9 @@ object SegmentedSweep {
       seeds: Map[(String, Long), SegSeed])
       extends Iterator[InternalRow] {
 
-    private val f1h = new FrameQ(3600L)
+    private val f1h = new FrameQ(3600L, trackDistinct = false)
     private val f24h = new FrameQ(86400L)
-    private val f7d = new FrameQ(604800L)
+    private val f7d = new FrameQ(604800L, trackDistinct = false)
 
     private var curConv: UTF8String = _
     private var curSeg = Long.MinValue
@@ -346,9 +351,17 @@ object SegmentedSweep {
       emit(p)
     }
 
+    // the emitted row object is REUSED across next() calls — standard
+    // operator contract (the immediate consumer is an unsafe
+    // projection that serializes each row before anything buffers it);
+    // a fresh 16-slot array + GenericInternalRow per output row was
+    // two allocations per row on the engine's hottest loop
+    private val outArr = new Array[Any](16)
+    private val outRow = new GenericInternalRow(outArr)
+
     private def emit(p: Pending): InternalRow = {
       val r = p.row
-      val out = new Array[Any](16)
+      val out = outArr
       out(0) = r.getUTF8String(CONV)
       out(1) = r.getInt(TURN)
       out(2) = r.getUTF8String(ROLE)
@@ -365,7 +378,7 @@ object SegmentedSweep {
       out(13) = if (p.hasGap) p.gapSecs else null
       out(14) = p.sessionId
       out(15) = p.textLen
-      new GenericInternalRow(out)
+      outRow
     }
   }
 }

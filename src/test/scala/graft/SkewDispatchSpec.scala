@@ -2,48 +2,57 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Unit tests for the core-aware (relative) skew-dispatch threshold —
-  * min(absolute crossover, max(floor, alpha x sliceRows/sweepParts)).
-  * The end-to-end correctness of routed-vs-light computation is pinned
-  * by BackfillSpec's mega test and SegmentedSweepSpec's bit-equality;
+/** Unit tests for the core-aware (relative) skew-dispatch rule —
+  * candidate threshold max(floor, alpha x sliceRows/cores), gated on
+  * the routed tail fitting a fraction of the slice, with conversations
+  * above the absolute crossover always routed. The end-to-end
+  * correctness of routed-vs-light computation is pinned by
+  * BackfillSpec's mega test and SegmentedSweepSpec's bit-equality;
   * this spec pins the DECISION rule itself.
   */
 class SkewDispatchSpec extends AnyFunSuite {
 
-  private def eff(abs: Option[Long], rows: Option[Long], parts: Int) =
-    Backfill.effectiveSkewThreshold(abs, rows, parts)
+  private val Abs = 10000000L
 
-  test("relative bound binds below the absolute crossover at bench-like shapes") {
-    // 1.2M-row slice over 12 sweep partitions, alpha=2 -> 200k:
-    // the planted ~700k-row-per-slice mega routes heavy even though it
-    // is far under the absolute 10^7 crossover
-    val (thr, upfront) = eff(Some(10000000L), Some(1200000L), 12)
-    assert(thr.contains(200000L) && upfront)
+  test("1000-core shapes: a 10M-row conversation in a 1B-row slice routes") {
+    // fair share 1M rows/core, alpha=2 -> threshold 2M; budget 250M
+    val thr = Backfill.relativeThreshold(Some(Abs), Some(1000000000L), 1000)
+    assert(thr.contains(2000000L))
+    val routed = Backfill.selectRouted(
+      Seq(("mega", 9000000L)), Abs, thr.get, 250000000L, 2000)
+    assert(routed == Seq("mega"))
   }
 
-  test("scales with partition count: 1000-core shapes route 10M-row conversations") {
-    // 1B-row slice over 8192 partitions -> avg ~122k, threshold ~244k
-    val (thr, upfront) = eff(Some(10000000L), Some(1000000000L), 8192)
-    assert(upfront && thr.exists(t => t < 300000L))
+  test("driver-bench shape: megas that ARE most of the slice stay on the plain sweep") {
+    // 1.2M-row slice at 32 cores -> relThr = max(200k, 75k) = 200k,
+    // budget 300k; the two planted ~700k-row megas each bust the
+    // budget alone -> nothing routes (measured: routing them made the
+    // backfill 1.4-2.7x SLOWER)
+    val thr = Backfill.relativeThreshold(Some(Abs), Some(1200000L), 32)
+    assert(thr.contains(200000L))
+    val routed = Backfill.selectRouted(
+      Seq(("megaA", 700000L), ("megaB", 650000L)), Abs, thr.get, 300000L, 64)
+    assert(routed.isEmpty)
   }
 
-  test("floor keeps tiny slices on the light sweep (spec-scale data never routes)") {
-    val (thr, upfront) = eff(Some(10000000L), Some(1000L), 4)
-    assert(thr.contains(100000L))
-    assert(upfront) // relative still binds vs the absolute 10^7 ...
-    // ... but no spec-scale conversation reaches 100k rows, so routing
-    // behavior of small fixtures is unchanged
+  test("budget admits a genuine tail: largest candidates first, cumulative bound") {
+    val cand = Seq(("a", 400000L), ("b", 300000L), ("c", 250000L))
+    val routed = Backfill.selectRouted(cand, Abs, 200000L, 750000L, 64)
+    assert(routed == Seq("a", "b")) // c would push the total past 750k
   }
 
-  test("explicit small absolute thresholds (specs) keep lazy semantics") {
-    // a spec passing skewHeavyThreshold=300 keeps threshold 300 and the
-    // lazy protocol: min(300, max(100000, ...)) = 300, relative not binding
-    val (thr, upfront) = eff(Some(300L), Some(5000L), 4)
-    assert(thr.contains(300L) && !upfront)
+  test("absolute crossings always route, even past the budget") {
+    val routed = Backfill.selectRouted(
+      Seq(("monster", Abs + 1), ("mid", 300000L)), Abs, 200000L, 100L, 64)
+    assert(routed.contains("monster") && !routed.contains("mid"))
   }
 
-  test("no estimate or no absolute threshold -> unchanged legacy behavior") {
-    assert(eff(Some(10000000L), None, 12) == (Some(10000000L), false))
-    assert(eff(None, Some(1200000L), 12) == (None, false))
+  test("no estimate, tiny slices, or spec-style absolute thresholds disable the relative rule") {
+    assert(Backfill.relativeThreshold(Some(Abs), None, 32).isEmpty)
+    // floor 200k >= 0.25 x 1000 rows -> nothing could ever qualify
+    assert(Backfill.relativeThreshold(Some(Abs), Some(1000L), 4).isEmpty)
+    // a spec's absolute threshold of 300 binds below the floor
+    assert(Backfill.relativeThreshold(Some(300L), Some(5000000L), 4).isEmpty)
+    assert(Backfill.relativeThreshold(None, Some(5000000L), 4).isEmpty)
   }
 }
