@@ -655,7 +655,12 @@ object Backfill {
               rowsEst.map(r => (r * RouteBudgetFraction).toLong).getOrElse(Long.MaxValue),
               routedCap)
             if (relThr.isDefined && routed.isEmpty) {
-              relDetectCooldownUntil = i + heavyReach
+              // suppressed candidates change slowly (a mega must halve,
+              // or the slice 2x, before the budget admits it) — back
+              // off harder than the carried-heavy expiry so sustained
+              // unroutable shapes pay ~one count job per backfill, not
+              // one per heavyReach slices
+              relDetectCooldownUntil = i + Math.max(heavyReach, 4)
               if (cand.nonEmpty)
                 println(s"[backfill] $id: ${cand.size} conversation(s) above the relative " +
                   s"threshold $thr but past the ${RouteBudgetFraction} slice-budget — " +
