@@ -168,6 +168,29 @@ object FusedSweep {
         StructField("len", LongType, nullable = false),
         StructField("tool", StringType, nullable = true))))
 
+  /** The sweep's exchanged-and-sorted input stream: state pseudo-rows
+    * first (turn forced to Int.MinValue), then context/bronze rows in
+    * (turn, _k, _seq, ts, role, tool, text) order — the SilverBuilder
+    * winner order, so dedup-by-adjacency keeps the right row. Extracted
+    * so dev probes ([[graft.SweepProbe]]) can time the exchange+sort
+    * component of the identical plan [[gold]] executes.
+    */
+  private[graft] def sortedInput(
+      state: DataFrame,
+      context: DataFrame,
+      bronze: DataFrame,
+      numParts: Int): DataFrame =
+    stateRows(state)
+      .unionByName(contextRows(context))
+      .unionByName(bronzeRows(bronze))
+      .repartition(numParts, col("conv_id"))
+      .sortWithinPartitions(
+        col("conv_id"),
+        when(col("_k") === 0, lit(Int.MinValue)).otherwise(col("turn_idx")),
+        col("_k"), col("_seq"),
+        col("ts"), col("role"), coalesce(col("tool"), lit("")), col("text"))
+      .select(inputColumns(null): _*)
+
   /** Gold output schema: silver columns + dt + the eight feature
     * columns, preserving the input's timestamp flavor (ntz/tz).
     */
@@ -241,18 +264,7 @@ object FusedSweep {
     // ([[graft.Backfill]] sizes it from the previous slice's bytes).
     val numParts = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions").toInt * OverPartitionFactor)
-    val unioned = stateRows(state)
-      .unionByName(contextRows(context))
-      .unionByName(bronzeRows(bronze))
-
-    val sorted = unioned
-      .repartition(numParts, col("conv_id"))
-      .sortWithinPartitions(
-        col("conv_id"),
-        when(col("_k") === 0, lit(Int.MinValue)).otherwise(col("turn_idx")),
-        col("_k"), col("_seq"),
-        col("ts"), col("role"), coalesce(col("tool"), lit("")), col("text"))
-      .select(inputColumns(null): _*)
+    val sorted = sortedInput(state, context, bronze, numParts)
 
     val tailSorted = tailStream(tails.getOrElse(emptyTails(spark)))
       .repartition(numParts, col("conv_id"))
